@@ -1,0 +1,26 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding tests use
+``xla_force_host_platform_device_count`` for single-host multi-device
+simulation. The TPU harness in this container pins ``jax_platforms`` at
+interpreter startup (sitecustomize), so plain env vars are not enough —
+we override via ``jax.config`` and clear any already-initialized backends.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:  # pragma: no cover
+    pass
