@@ -1,0 +1,134 @@
+"""Batched closed-loop cartpole evaluation (balance + swing-up).
+
+Re-designs ``scripts/evaluate_cartpole.py:79-318``: the per-iteration python
+rollouts become one jitted ``lax.scan`` over time with all eval episodes
+batched, and the early ``break`` on falling becomes an alive-mask.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from apg_trajectory_tracking_tpu.dynamics.cartpole import cartpole_params
+from apg_trajectory_tracking_tpu.envs.cartpole_env import (
+    env_step,
+    is_upright,
+    reset_swingup,
+)
+from apg_trajectory_tracking_tpu.models import cartpole_net_apply
+
+
+@partial(jax.jit, static_argnames=("horizon", "max_steps", "dt"))
+def evaluate_balance(
+    net_params,
+    dyn_params,
+    nr_iters=10,
+    max_steps=250,
+    dt=0.05,
+    horizon=10,
+    thresh_div=0.21,
+):
+    """Balance evaluation (evaluate_cartpole.py:79-262).
+
+    Episodes start from the exact zero state (the reference's
+    ``initialize_straight`` zeroes position, velocity, and angle,
+    lines 103-114). Returns the metrics dict of the reference:
+    mean/std |cart velocity| over steps taken, mean/std steps balanced.
+    """
+    states = jnp.zeros((nr_iters, 4), dtype=jnp.float32)
+
+    def body(carry, i):
+        state, alive, steps, vel_sum, vel_sq_sum, n_vel = carry
+        actions = cartpole_net_apply(net_params, state)
+        a0 = actions.reshape(-1, horizon, 1)[:, 0]
+        new_state = env_step(dyn_params, state, a0, dt)
+        # velocity recorded for every executed step (while alive)
+        v = jnp.abs(new_state[:, 1])
+        vel_sum = vel_sum + jnp.where(alive, v, 0.0)
+        vel_sq_sum = vel_sq_sum + jnp.where(alive, v * v, 0.0)
+        n_vel = n_vel + alive.astype(jnp.int32)
+        # success counter = last step index reached (break on fall)
+        upright = is_upright(new_state, thresh_div)
+        steps = jnp.where(alive, i, steps)
+        alive = jnp.logical_and(alive, upright)
+        state = jnp.where(alive[:, None], new_state, state)
+        return (state, alive, steps, vel_sum, vel_sq_sum, n_vel), None
+
+    init = (
+        states,
+        jnp.ones(nr_iters, dtype=bool),
+        jnp.zeros(nr_iters, dtype=jnp.int32),
+        jnp.zeros(nr_iters),
+        jnp.zeros(nr_iters),
+        jnp.zeros(nr_iters, dtype=jnp.int32),
+    )
+    (_, _, steps, vel_sum, vel_sq_sum, n_vel), _ = jax.lax.scan(
+        body, init, jnp.arange(max_steps)
+    )
+    total_n = jnp.maximum(jnp.sum(n_vel), 1)
+    mean_vel = jnp.sum(vel_sum) / total_n
+    var_vel = jnp.sum(vel_sq_sum) / total_n - mean_vel**2
+    return {
+        "mean_vel": mean_vel,
+        "std_vel": jnp.sqrt(jnp.maximum(var_vel, 0.0)),
+        "mean_stable": jnp.mean(steps.astype(jnp.float32)),
+        "std_stable": jnp.std(steps.astype(jnp.float32)),
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nr_iters", "horizon", "max_steps", "dt", "burn_in"),
+)
+def evaluate_swingup(
+    net_params,
+    dyn_params,
+    key,
+    nr_iters=10,
+    max_steps=250,
+    dt=0.05,
+    horizon=10,
+    burn_in=100,
+):
+    """Swing-up evaluation (evaluate_cartpole.py:264-318).
+
+    Starts hanging down; success = pole upright throughout the post-burn-in
+    window. The reference's success check is one-sided (``theta > 1``,
+    line 301) — we use |theta| > 1, which is strictly harder and symmetric.
+    Also returns mean/std |velocity| post burn-in (the save-model score,
+    suc_up_down=-1).
+    """
+    states = reset_swingup(key, nr_iters)
+
+    def body(carry, i):
+        state, upright_ok, vel_sum, vel_sq_sum = carry
+        actions = cartpole_net_apply(net_params, state)
+        a0 = actions.reshape(-1, horizon, 1)[:, 0]
+        new_state = env_step(dyn_params, state, a0, dt)
+        past_burn = i > burn_in
+        v = jnp.abs(new_state[:, 1])
+        vel_sum = vel_sum + jnp.where(past_burn, v, 0.0)
+        vel_sq_sum = vel_sq_sum + jnp.where(past_burn, v * v, 0.0)
+        upright_ok = jnp.logical_and(
+            upright_ok,
+            jnp.logical_or(~past_burn, jnp.abs(new_state[:, 2]) <= 1.0),
+        )
+        return (new_state, upright_ok, vel_sum, vel_sq_sum), None
+
+    init = (
+        states,
+        jnp.ones(nr_iters, dtype=bool),
+        jnp.zeros(nr_iters),
+        jnp.zeros(nr_iters),
+    )
+    (_, success, vel_sum, vel_sq_sum), _ = jax.lax.scan(
+        body, init, jnp.arange(max_steps)
+    )
+    n = max_steps - burn_in - 1
+    mean_vel = jnp.mean(vel_sum / n)
+    return {
+        "mean_vel": mean_vel,
+        "std_vel": jnp.std(vel_sum / n),
+        "success_rate": jnp.mean(success.astype(jnp.float32)),
+    }

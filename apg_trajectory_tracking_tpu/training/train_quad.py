@@ -1,0 +1,386 @@
+"""Quadrotor APG training: concurrent, autoregressive, and LSTM modes.
+
+Re-designs ``scripts/train_drone.py`` + the shared loop of
+``scripts/train_base.py``:
+
+  * data: (state, 10x9 reference window) pairs sliced from the GP trajectory
+    bank (drone_env.py:232-269) held in device buffers with a self-play ring
+    segment written from eval rollouts;
+  * concurrent mode (train_drone.py:175-203): the net emits all k actions at
+    once; the dynamics unroll is a ``lax.scan``; BPTT = reverse-mode scan;
+  * autoregressive/LSTM modes (train_drone.py:113-173): per-step re-
+    featurization with a sliding reference window inside the scan; the LSTM
+    threads an explicit (h, c) carry;
+  * curricula: thresh_div +0.05 every 5 epochs (train_drone.py:221-226);
+    speed_factor 0.2 -> +0.1 -> 0.4 with threshold reset
+    (train_base.py:289-332);
+  * a full epoch is one jitted scan over minibatches.
+"""
+
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from apg_trajectory_tracking_tpu.data.dataset import (
+    make_quad_buffers,
+    insert_self_play,
+    replace_sampled,
+    quad_prepare_data,
+    quad_state_features,
+)
+from apg_trajectory_tracking_tpu.dynamics.quad import quad_params, quad_step
+from apg_trajectory_tracking_tpu.envs.quad_env import full_state_training_data
+from apg_trajectory_tracking_tpu.evaluation.quad_eval import run_eval
+from apg_trajectory_tracking_tpu.losses import quad_mpc_loss
+from apg_trajectory_tracking_tpu.models import (
+    init_control_net,
+    control_net_apply,
+    init_lstm_net,
+    lstm_net_apply,
+    init_lstm_state,
+)
+from apg_trajectory_tracking_tpu.trajectory.generate import (
+    ensure_trajectory_bank,
+    load_trajectory_bank,
+    prepare_trajectory,
+)
+from apg_trajectory_tracking_tpu.training.common import (
+    load_config,
+    sgd_momentum,
+    shuffled_batches,
+    epoch_scan,
+)
+from apg_trajectory_tracking_tpu.utils.checkpoints import save_checkpoint
+from apg_trajectory_tracking_tpu.utils.logging import ResultsLogger
+
+IN_STATE_SIZE = 15  # quad feature vector (dataset.py:185-190)
+
+
+def build_concurrent_step(dyn_step, optimizer, dt, horizon, action_dim=4):
+    """Concurrent-mode SGD step (train_drone.py:175-203)."""
+
+    def loss_fn(net_params, dyn_params, states, refs):
+        in_state, current_state, in_ref, rel_ref = quad_prepare_data(
+            states, refs
+        )
+        logits = control_net_apply(net_params, in_state, in_ref)
+        action_seq = jax.nn.sigmoid(logits).reshape(-1, horizon, action_dim)
+
+        def body(state, act):
+            nxt = dyn_step(dyn_params, state, act, dt)
+            return nxt, nxt
+
+        _, inter = jax.lax.scan(
+            body, current_state, jnp.swapaxes(action_seq, 0, 1)
+        )
+        inter = jnp.swapaxes(inter, 0, 1)
+        return quad_mpc_loss(inter, rel_ref, action_seq)
+
+    def step(net_params, opt_state, dyn_params, states, refs):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            net_params, dyn_params, states, refs
+        )
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(net_params, updates), opt_state, loss
+
+    return step
+
+
+def build_recurrent_step(
+    dyn_step, optimizer, dt, horizon, action_dim=4, lstm=False
+):
+    """Autoregressive / LSTM-mode SGD step (train_drone.py:113-173).
+
+    The reference window here is 2*horizon long (train_base.py:119-121); at
+    inner step k the net sees window[k:k+horizon] with positions re-centered
+    on the current drone position, and the state features are recomputed.
+    """
+
+    def loss_fn(net_params, dyn_params, states, refs2h):
+        batch = states.shape[0]
+        carry0 = init_lstm_state(batch) if lstm else None
+
+        # drone-centric frame: refs relative to the start position, start
+        # position zeroed (QuadDataset.prepare_data, dataset.py:169-175)
+        rel_refs = refs2h.at[:, :, :3].add(-states[:, None, :3])
+        state0 = states.at[:, :3].set(0.0)
+
+        def body(carry, k):
+            state, lstm_state = carry
+            window = jax.lax.dynamic_slice_in_dim(rel_refs, k, horizon, axis=1)
+            # re-center on the current position each inner step
+            # (train_drone.py:138-142; the reference mutates its window
+            # in place across overlapping slices — an upstream slice-view
+            # bug; we apply the intended single subtraction)
+            rel = window.at[:, :, :3].add(-state[:, None, :3])
+            in_state = quad_state_features(state)
+            vel_minus = rel[:, :, 6:9] - state[:, None, 6:9]
+            in_ref = jnp.concatenate(
+                [rel[:, :, :3], rel[:, :, 6:9], vel_minus], axis=2
+            )
+            if lstm:
+                lstm_state, logits = lstm_net_apply(
+                    net_params, lstm_state, in_state, in_ref
+                )
+            else:
+                logits = control_net_apply(net_params, in_state, in_ref)
+            action = jax.nn.sigmoid(logits)
+            new_state = dyn_step(dyn_params, state, action, dt)
+            return (new_state, lstm_state), (new_state, action)
+
+        (_, _), (inter, actions) = jax.lax.scan(
+            body, (state0, carry0), jnp.arange(horizon)
+        )
+        inter = jnp.swapaxes(inter, 0, 1)
+        actions = jnp.swapaxes(actions, 0, 1)
+        # loss against the first horizon of the (relative) window
+        # (train_drone.py:159-165)
+        return quad_mpc_loss(inter, rel_refs[:, :horizon], actions)
+
+    def step(net_params, opt_state, dyn_params, states, refs):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            net_params, dyn_params, states, refs
+        )
+        updates, opt_state = optimizer.update(grads, opt_state)
+        return optax.apply_updates(net_params, updates), opt_state, loss
+
+    return step
+
+
+class TrainQuad:
+    """Host-side orchestration of quad APG training."""
+
+    def __init__(
+        self,
+        config=None,
+        train_mode=None,
+        seed=0,
+        save_name="test",
+        data_dir="data/traj_data",
+        modified_params=None,
+        curriculum=True,
+    ):
+        self.config = cfg = dict(config or load_config("quad"))
+        if train_mode is not None:
+            cfg["train_mode"] = train_mode
+        self.mode = cfg.get("train_mode", "concurrent")
+        if self.mode not in ("concurrent", "autoregressive", "LSTM"):
+            raise ValueError(
+                "train_mode must be concurrent, autoregressive, or LSTM"
+            )
+        self.dt = cfg["delta_t"]
+        self.horizon = cfg["horizon"]
+        self.batch_size = cfg["batch_size"]
+        self.action_dim = cfg["action_dim"]
+        # concurrent: ref window = horizon; recurrent: 2*horizon
+        # (train_base.py:119-128)
+        self.ref_length = (
+            self.horizon if self.mode == "concurrent" else 2 * self.horizon
+        )
+        self.curriculum = curriculum
+        self.thresh_div = cfg["thresh_div_start"]
+        self.thresh_stable = cfg["thresh_stable_start"]
+        self.speed_factor = 0.2 if curriculum else cfg["speed_factor"]
+        self.data_speed_factor = cfg["speed_factor"]
+
+        mp = modified_params or cfg.get("modified_params", {})
+        self.train_dyn = quad_params(mp)
+        self.eval_dyn = quad_params(mp)
+
+        # trajectory bank (generated on first use)
+        self.bank = load_trajectory_bank(ensure_trajectory_bank(data_dir))
+        self.test_bank = load_trajectory_bank(data_dir, test=True)
+
+        self.rng = np.random.RandomState(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.key, k_net = jax.random.split(self.key)
+
+        out_dim = (
+            self.action_dim * self.horizon
+            if self.mode == "concurrent"
+            else self.action_dim
+        )
+        if self.mode == "LSTM":
+            self.net = init_lstm_net(
+                k_net, IN_STATE_SIZE, self.horizon, cfg["ref_dim"],
+                out_dim, conv=True,
+            )
+        else:
+            self.net = init_control_net(
+                k_net, IN_STATE_SIZE, self.horizon, cfg["ref_dim"],
+                out_dim, conv=True,
+            )
+        self.optimizer = sgd_momentum(cfg["learning_rate_controller"])
+        self.opt_state = self.optimizer.init(self.net)
+
+        # buffers: epoch_size sampled + self_play*epoch_size ring slots
+        num_sampled = cfg["epoch_size"]
+        num_sp = int(cfg["self_play"] * cfg["epoch_size"])
+        states, refs = full_state_training_data(
+            self.rng, self.bank, num_sampled + num_sp,
+            ref_length=self.ref_length, dt=self.dt,
+            speed_factor=self.data_speed_factor,
+        )
+        self.buffers = make_quad_buffers(states, refs, num_sampled)
+
+        if self.mode == "concurrent":
+            step = build_concurrent_step(
+                quad_step, self.optimizer, self.dt, self.horizon,
+                self.action_dim,
+            )
+        else:
+            step = build_recurrent_step(
+                quad_step, self.optimizer, self.dt, self.horizon,
+                self.action_dim, lstm=(self.mode == "LSTM"),
+            )
+        self._train_epoch = jax.jit(
+            lambda p, o, dyn, states, refs, idx: epoch_scan(
+                lambda p_, o_, s_, r_: step(p_, o_, dyn, s_, r_),
+                p, o, idx, states, refs,
+            )
+        )
+
+        self.save_path = os.path.join("trained_models", "quad", save_name)
+        self.logger = ResultsLogger(self.save_path)
+        self.best_score = -np.inf  # suc_up_down = 1: higher is better
+        self.successes = []
+        self.first_epoch_with_this_vel = 0
+
+    # -- eval references ----------------------------------------------------
+
+    def _eval_references(self, nr_test, test_time=False):
+        """Prepare nr_test random reference trajectories at the current
+        curriculum speed (Random, random_traj.py:29-48: z += 3)."""
+        bank = self.test_bank if test_time else self.bank
+        idx = self.rng.randint(len(bank), size=nr_test)
+        refs = np.stack(
+            [
+                prepare_trajectory(bank[i], self.dt, self.speed_factor)
+                for i in idx
+            ]
+        )
+        refs[:, :, 2] += 3.0
+        return jnp.asarray(refs), refs.shape[1] - self.horizon
+
+    # -- epoch pieces ---------------------------------------------------------
+
+    def evaluate(self, epoch, nr_test=10, test_time=False):
+        refs, ref_len = self._eval_references(nr_test, test_time)
+        eval_kwargs = {}
+        if self.mode == "LSTM":
+            eval_kwargs["net_apply"] = lstm_net_apply
+            eval_kwargs["net_carry"] = init_lstm_state(nr_test)
+        if self.ref_length != self.horizon:
+            eval_kwargs["window_len"] = self.ref_length
+        metrics, roll = run_eval(
+            self.net, self.eval_dyn, refs, ref_len,
+            thresh_div=self.thresh_div, thresh_stable=self.thresh_stable,
+            horizon=self.horizon, dt=self.dt, test_time=test_time,
+            **eval_kwargs,
+        )
+        if not test_time:
+            self._self_play_insert(roll)
+        self.logger.log_dict(metrics)
+        self.logger.log("thresh_div", self.thresh_div)
+
+        # thresh_div curriculum (train_drone.py:221-226)
+        if epoch % 5 == 0 and self.thresh_div < self.config["thresh_div_end"]:
+            self.thresh_div += 0.05
+
+        if epoch > 0 and metrics["mean_success"] > self.best_score:
+            self.best_score = metrics["mean_success"]
+            self._save()
+        return metrics
+
+    def _self_play_insert(self, roll):
+        """Insert every take_every_x-th visited (state, window) pair into
+        the self-play ring (network_wrapper.py:42-52)."""
+        take = self.config.get("self_play_every_x", 2)
+        if self.buffers.num_self_play == 0:
+            return
+        states = roll["states"].reshape(-1, 12)[::take]
+        wl = roll["windows"].shape[-2]
+        windows = roll["windows"].reshape(-1, wl, 9)[::take]
+        self.buffers = insert_self_play(self.buffers, states, windows)
+
+    def _resample(self, epoch):
+        """Resample the non-self-play segment every resample_every epochs
+        (train_base.py:220-231)."""
+        if (epoch + 1) % self.config["resample_every"] == 0:
+            states, refs = full_state_training_data(
+                self.rng, self.bank, self.buffers.num_sampled,
+                ref_length=self.ref_length, dt=self.dt,
+                speed_factor=self.data_speed_factor,
+            )
+            self.buffers = replace_sampled(
+                self.buffers, jnp.asarray(states), jnp.asarray(refs)
+            )
+
+    def _speed_curriculum(self, epoch):
+        """Speed curriculum (train_base.py:289-332)."""
+        if not self.curriculum:
+            return
+        current_possible = 1000 / (self.speed_factor / self.dt)
+        self.successes.append(self.logger.results["mean_success"][-1])
+        advance = (
+            len(self.successes) > 5
+            and np.all(np.array(self.successes[-5:]) > current_possible)
+        ) or (epoch - self.first_epoch_with_this_vel > 100)
+        if advance and self.speed_factor < 0.4:
+            self.speed_factor = round(self.speed_factor + 0.1, 3)
+            self.thresh_div = 0.1
+            self.successes = []
+            self.first_epoch_with_this_vel = epoch + 1
+            self.best_score = -np.inf
+            print(f" ---- increase speed to {self.speed_factor} ---- ")
+
+    def run_epoch(self):
+        self.key, k = jax.random.split(self.key)
+        idx = shuffled_batches(
+            k, len(self.buffers.states), self.batch_size
+        )
+        self.net, self.opt_state, loss = self._train_epoch(
+            self.net, self.opt_state, self.train_dyn,
+            self.buffers.states, self.buffers.refs, idx,
+        )
+        loss = float(loss)
+        self.logger.log("loss", loss)
+        return loss
+
+    def fit(self, nr_epochs=None, nr_test=10, verbose=True):
+        nr_epochs = nr_epochs or self.config["nr_epochs"]
+        for epoch in range(nr_epochs):
+            metrics = self.evaluate(epoch, nr_test=nr_test)
+            self._speed_curriculum(epoch)
+            self._resample(epoch)
+            loss = self.run_epoch()
+            if verbose:
+                print(
+                    f"Epoch {epoch}: loss {loss:.1f} "
+                    f"success {metrics['mean_success']:.1f} "
+                    f"div {metrics['mean_divergence']:.3f} "
+                    f"speed {self.speed_factor} thresh {self.thresh_div:.2f}"
+                )
+        self.finalize()
+        return self
+
+    def _save(self):
+        save_checkpoint(
+            self.save_path, "model_quad", self.net,
+            {
+                **self.config,
+                "thresh_div": self.thresh_div,
+                "speed_factor": self.speed_factor,
+                "mean": np.asarray(self.buffers.mean).tolist(),
+                "std": np.asarray(self.buffers.std).tolist(),
+                "ref_length": self.ref_length,
+            },
+        )
+
+    def finalize(self):
+        self._save()
+        self.logger.finalize()

@@ -1,0 +1,58 @@
+"""Checkpointing: params + optimizer state + curriculum scalars + config.
+
+Replaces the reference's whole-module pickles (``torch.save(self.net)``,
+train_base.py:233-259) with a portable scheme: pytree arrays in an .npz
+(flattened with jax.tree_util key paths) and the config/normalization stats
+in a config.json next to it — same directory layout as the reference
+(``trained_models/<system>/<save_name>/``), loading restores both
+(evaluate_base.py:11-21).
+"""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _flatten(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = jax.tree_util.keystr(path)
+        out[key] = np.asarray(leaf)
+    return out, treedef
+
+
+def save_checkpoint(save_dir, name, tree, config=None):
+    """Save a pytree of arrays + optional config dict."""
+    os.makedirs(save_dir, exist_ok=True)
+    flat, _ = _flatten(tree)
+    np.savez(os.path.join(save_dir, f"{name}.npz"), **flat)
+    if config is not None:
+        clean = {}
+        for k, v in config.items():
+            if isinstance(v, (np.ndarray, jnp.ndarray)):
+                clean[k] = np.asarray(v).tolist()
+            else:
+                clean[k] = v
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(clean, f, default=float)
+
+
+def load_checkpoint(save_dir, name, template):
+    """Load arrays back into the structure of ``template``."""
+    data = np.load(os.path.join(save_dir, f"{name}.npz"))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in flat:
+        key = jax.tree_util.keystr(path)
+        arr = jnp.asarray(data[key])
+        leaves.append(arr.astype(leaf.dtype) if hasattr(leaf, "dtype") else arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_config(save_dir):
+    with open(os.path.join(save_dir, "config.json")) as f:
+        return json.load(f)

@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Train a cartpole APG controller (counterpart of the reference's
+scripts/train_cartpole.py -t pretrain)."""
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-s", "--save_name", default="test")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--balance", action="store_true",
+                        help="balance eval instead of swing-up")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny run: 3 epochs, 200 samples")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
+
+    from apg_trajectory_tracking_tpu.training.train_cartpole import TrainCartpole
+    from apg_trajectory_tracking_tpu.training.common import load_config
+
+    overrides = {}
+    if args.smoke:
+        overrides = {"sample_data": 200, "nr_epochs": 3}
+    config = load_config("cartpole", overrides)
+    trainer = TrainCartpole(
+        config, swingup=not args.balance, seed=args.seed,
+        save_name=args.save_name,
+    )
+    trainer.fit(args.epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Train a quadrotor APG controller (counterpart of the reference's
+scripts/train_drone.py)."""
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-s", "--save_name", default="test")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument(
+        "-m", "--mode", default="concurrent",
+        choices=["concurrent", "autoregressive", "LSTM"],
+    )
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny run: 2 epochs, small dataset")
+    parser.add_argument("--no-curriculum", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
+
+    from apg_trajectory_tracking_tpu.training.train_quad import TrainQuad
+    from apg_trajectory_tracking_tpu.training.common import load_config
+
+    overrides = {}
+    if args.smoke:
+        overrides = {"epoch_size": 64, "nr_epochs": 2, "self_play": 1}
+    config = load_config("quad", overrides)
+    trainer = TrainQuad(
+        config, train_mode=args.mode, seed=args.seed,
+        save_name=args.save_name, curriculum=not args.no_curriculum,
+    )
+    trainer.fit(args.epochs)
+
+
+if __name__ == "__main__":
+    main()

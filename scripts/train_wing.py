@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Train a fixed-wing APG controller (counterpart of the reference's
+scripts/train_fixed_wing.py)."""
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-s", "--save_name", default="test")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--smoke", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
+
+    from apg_trajectory_tracking_tpu.training.train_wing import TrainWing
+    from apg_trajectory_tracking_tpu.training.common import load_config
+
+    overrides = {}
+    if args.smoke:
+        overrides = {"self_play": 200, "nr_epochs": 2, "epoch_size": 64}
+    config = load_config("wing", overrides)
+    trainer = TrainWing(config, seed=args.seed, save_name=args.save_name)
+    trainer.fit(args.epochs)
+
+
+if __name__ == "__main__":
+    main()
