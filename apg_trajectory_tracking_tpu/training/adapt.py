@@ -1,0 +1,237 @@
+"""Adaptation experiments: dynamics mismatch -> fit residual -> retrain
+controller against the adapted model.
+
+The three reference experiment drivers:
+  * cartpole 'adapt' with wind=0.5 (train_cartpole.py:245-263, -t adapt);
+  * quad train_dynamics (train_drone.py:260-279);
+  * wing train_dynamics (train_fixed_wing.py:216-237);
+plus the run_dynamics alternation schedule (train_base.py:334-375).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from apg_trajectory_tracking_tpu.dynamics.cartpole import (
+    cartpole_params,
+    cartpole_step,
+)
+from apg_trajectory_tracking_tpu.dynamics.learnt import (
+    learnt_step as _generic_learnt_step,
+    make_learnt_cartpole,
+)
+from apg_trajectory_tracking_tpu.models import cartpole_net_apply
+from apg_trajectory_tracking_tpu.training.common import (
+    shuffled_batches,
+)
+from apg_trajectory_tracking_tpu.training.dynamics_fit import (
+    build_dynamics_fit_step,
+    fit_dynamics_epoch,
+    masked_sgd,
+)
+from apg_trajectory_tracking_tpu.training.train_cartpole import (
+    TrainCartpole,
+    build_train_step,
+)
+
+
+def cartpole_learnt_step(ld, states, actions, dt):
+    return _generic_learnt_step(cartpole_step, ld, states, actions, dt)
+
+
+class TrainCartpoleAdapt(TrainCartpole):
+    """Cartpole dynamics-adaptation experiment (-t adapt).
+
+    Train dynamics = analytic cartpole + residual MLP (physical params
+    frozen unless ``train_base_params``); eval dynamics = cartpole with a
+    mismatch (default wind=0.5, train_cartpole.py:311). The first
+    ``train_dyn_for_epochs`` epochs fit the residual on one-step
+    transitions driven by the current controller; afterwards the controller
+    trains against the adapted model and is evaluated in the mismatched env.
+    """
+
+    def __init__(
+        self,
+        config=None,
+        modified_params=None,
+        train_base_params=False,
+        seed=0,
+        save_name="adapt",
+    ):
+        super().__init__(config, swingup=False, seed=seed, save_name=save_name)
+        cfg = self.config
+        if modified_params is None:
+            modified_params = {"wind": 0.5}
+        self.eval_dyn = cartpole_params(modified_params)
+
+        self.key, k_ld = jax.random.split(self.key)
+        self.ld, self.ld_step = make_learnt_cartpole(k_ld, std=1e-4)
+        self.dyn_optimizer = masked_sgd(
+            cfg["learning_rate_dynamics"], self.ld,
+            train_base=train_base_params,
+        )
+        self.dyn_opt_state = self.dyn_optimizer.init(self.ld)
+
+        fit_step = build_dynamics_fit_step(
+            cartpole_learnt_step,
+            cartpole_step,
+            self.dyn_optimizer,
+            self.dt,
+            l2_lambda=cfg.get("l2_lambda", 0.0),
+        )
+
+        horizon = self.horizon
+
+        def actions_fn(states):
+            # first action of the controller's sequence
+            # (train_base.py:163-168 uses action_seq[:, 0])
+            acts = cartpole_net_apply(self.net, states)
+            return acts.reshape(-1, horizon, 1)[:, 0]
+
+        self._fit_epoch = jax.jit(
+            lambda ld, opt, evalp, states, idx: fit_dynamics_epoch(
+                fit_step, ld, opt, evalp, states, actions_fn, idx
+            )
+        )
+
+        # controller step against the learnt dynamics
+        ctrl_step = build_train_step(
+            cartpole_learnt_step, self.ld, self.optimizer, self.dt, horizon
+        )
+        # note: ld is a traced argument so the controller sees updates
+        from apg_trajectory_tracking_tpu.losses import cartpole_loss_mpc
+        from apg_trajectory_tracking_tpu.training.train_cartpole import (
+            make_reference,
+        )
+        import optax
+
+        def ctrl_loss(net_params, ld, states):
+            actions = cartpole_net_apply(net_params, states)
+            action_seq = actions.reshape(-1, horizon, 1)
+            ref_states = make_reference(states, horizon)
+
+            def body(state, act):
+                nxt = cartpole_learnt_step(ld, state, act, self.dt)
+                return nxt, nxt
+
+            _, inter = jax.lax.scan(
+                body, states, jnp.swapaxes(action_seq, 0, 1)
+            )
+            return cartpole_loss_mpc(
+                jnp.swapaxes(inter, 0, 1), ref_states, action_seq
+            )
+
+        def ctrl_step_fn(net_params, opt_state, ld, states):
+            loss, grads = jax.value_and_grad(ctrl_loss)(
+                net_params, ld, states
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state)
+            return optax.apply_updates(net_params, updates), opt_state, loss
+
+        def ctrl_epoch(net_params, opt_state, ld, data, idx):
+            def body(carry, i):
+                p, o = carry
+                p, o, loss = ctrl_step_fn(p, o, ld, data[i])
+                return (p, o), loss
+
+            (net_params, opt_state), losses = jax.lax.scan(
+                body, (net_params, opt_state), idx
+            )
+            return net_params, opt_state, jnp.mean(losses)
+
+        self._ctrl_epoch_learnt = jax.jit(ctrl_epoch)
+
+    def run_dynamics_epoch(self):
+        self.key, k = jax.random.split(self.key)
+        idx = shuffled_batches(k, len(self.data), self.batch_size)
+        self.ld, self.dyn_opt_state, loss = self._fit_epoch(
+            self.ld, self.dyn_opt_state, self.eval_dyn, self.data, idx
+        )
+        loss = float(loss)
+        self.logger.log("loss_dyn", loss)
+        return loss
+
+    def run_controller_epoch_learnt(self):
+        self.key, k = jax.random.split(self.key)
+        idx = shuffled_batches(k, len(self.data), self.batch_size)
+        self.net, self.opt_state, loss = self._ctrl_epoch_learnt(
+            self.net, self.opt_state, self.ld, self.data, idx
+        )
+        loss = float(loss)
+        self.logger.log("loss", loss)
+        return loss
+
+    def run_dynamics(self, nr_epochs=None, train_dyn_for_epochs=None,
+                     train_dyn_every=1, verbose=True):
+        """The alternation schedule (train_base.py:334-375)."""
+        cfg = self.config
+        nr_epochs = nr_epochs or cfg["nr_epochs"]
+        train_dyn_for_epochs = (
+            train_dyn_for_epochs
+            if train_dyn_for_epochs is not None
+            else cfg.get("train_dyn_for_epochs", 10)
+        )
+        for epoch in range(nr_epochs):
+            res = self.evaluate(epoch)
+            if (
+                epoch <= train_dyn_for_epochs
+                and epoch % train_dyn_every == 0
+            ):
+                loss = self.run_dynamics_epoch()
+                what = "dynamics"
+            else:
+                loss = self.run_controller_epoch_learnt()
+                what = "controller"
+            if verbose:
+                print(
+                    f"Epoch {epoch} [{what}]: loss {loss:.3f} "
+                    + ", ".join(f"{k} {v:.3f}" for k, v in res.items())
+                )
+        self.finalize()
+        return self
+
+    def evaluate(self, epoch):
+        """Evaluate in the MISMATCHED env (balance task)."""
+        from apg_trajectory_tracking_tpu.evaluation.cartpole_eval import (
+            evaluate_balance,
+        )
+
+        res = evaluate_balance(
+            self.net, self.eval_dyn, dt=self.dt, horizon=self.horizon
+        )
+        res = {k: float(v) for k, v in res.items()}
+        self.logger.log_dict(res)
+        self.logger.log("mean_success", res["mean_vel"])
+        self.logger.log("std_success", res["std_vel"])
+
+        cfg = self.config
+        if epoch % 3 == 0 and self.thresh_div < cfg["thresh_div_end"]:
+            self.thresh_div += cfg["thresh_div_step"]
+        if (epoch + 1) % cfg["resample_every"] == 0:
+            from apg_trajectory_tracking_tpu.envs.cartpole_env import (
+                construct_states,
+            )
+
+            self.key, k = jax.random.split(self.key)
+            self.data = construct_states(
+                k, cfg["sample_data"], self.dt, self.thresh_div,
+                self.train_dyn,
+            )
+        return res
+
+    def dynamics_gap(self, n=256):
+        """Mean one-step error of f_hat vs the mismatched env vs the
+        un-adapted analytic model (the 'dynamic gap' print of
+        evaluate_cartpole.py:240-248)."""
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        states = jax.random.normal(k1, (n, 4)) * jnp.asarray(
+            [1.0, 1.0, 0.5, 1.0]
+        )
+        actions = jax.random.uniform(k2, (n, 1), minval=-1.0, maxval=1.0)
+        target = cartpole_step(self.eval_dyn, states, actions, self.dt)
+        adapted = cartpole_learnt_step(self.ld, states, actions, self.dt)
+        analytic = cartpole_step(self.train_dyn, states, actions, self.dt)
+        return (
+            float(jnp.mean(jnp.abs(adapted - target))),
+            float(jnp.mean(jnp.abs(analytic - target))),
+        )

@@ -162,6 +162,7 @@ class TrainQuad:
         save_name="test",
         data_dir="data/traj_data",
         modified_params=None,
+        eval_modified_params=None,
         curriculum=True,
     ):
         self.config = cfg = dict(config or load_config("quad"))
@@ -189,7 +190,12 @@ class TrainQuad:
 
         mp = modified_params or cfg.get("modified_params", {})
         self.train_dyn = quad_params(mp)
-        self.eval_dyn = quad_params(mp)
+        # eval_modified_params != None is the sampling-based fine-tune
+        # experiment (train_drone.py:281-299): eval/self-play rollouts run in
+        # a mismatched env while training BPTT uses the analytic model
+        self.eval_dyn = quad_params(
+            eval_modified_params if eval_modified_params is not None else mp
+        )
 
         # trajectory bank (generated on first use)
         self.bank = load_trajectory_bank(ensure_trajectory_bank(data_dir))

@@ -1,0 +1,67 @@
+"""Dynamics-adaptation tests: the residual learns a wind mismatch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from apg_trajectory_tracking_tpu.training.common import load_config
+
+
+def test_cartpole_adaptation_closes_gap(tmp_path, monkeypatch):
+    """Fitting the residual on the wind-mismatched env must shrink the
+    one-step dynamics gap well below the analytic model's."""
+    monkeypatch.chdir(tmp_path)
+    from apg_trajectory_tracking_tpu.training.adapt import TrainCartpoleAdapt
+
+    cfg = load_config(
+        "cartpole",
+        {"sample_data": 256, "learning_rate_dynamics": 0.01, "l2_lambda": 0},
+    )
+    trainer = TrainCartpoleAdapt(cfg, modified_params={"wind": 0.5}, seed=0)
+
+    gap_before, analytic_gap = trainer.dynamics_gap()
+    # near-zero residual init needs a few thousand SGD steps to escape the
+    # saddle (same behavior as the reference's std=1e-4 init)
+    for _ in range(80):
+        trainer.run_dynamics_epoch()
+    gap_after, _ = trainer.dynamics_gap()
+
+    assert gap_after < gap_before * 0.5, (
+        f"adaptation did not reduce gap: {gap_before} -> {gap_after}"
+    )
+    assert gap_after < analytic_gap * 0.5
+
+
+def test_base_params_frozen_by_default(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from apg_trajectory_tracking_tpu.training.adapt import TrainCartpoleAdapt
+
+    cfg = load_config("cartpole", {"sample_data": 64})
+    trainer = TrainCartpoleAdapt(cfg, seed=0)
+    base_before = jax.tree_util.tree_leaves(trainer.ld.base)
+    trainer.run_dynamics_epoch()
+    base_after = jax.tree_util.tree_leaves(trainer.ld.base)
+    for a, b in zip(base_before, base_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # residual must have moved
+    res_delta = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(trainer.ld.residual),
+            jax.tree_util.tree_leaves(
+                trainer.__class__(cfg, seed=0).ld.residual
+            ),
+        )
+    )
+    assert res_delta > 0
+
+
+def test_run_dynamics_alternation(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from apg_trajectory_tracking_tpu.training.adapt import TrainCartpoleAdapt
+
+    cfg = load_config("cartpole", {"sample_data": 64, "nr_epochs": 3})
+    trainer = TrainCartpoleAdapt(cfg, seed=0)
+    trainer.run_dynamics(nr_epochs=3, train_dyn_for_epochs=1, verbose=False)
+    assert len(trainer.logger.results["loss_dyn"]) == 2  # epochs 0, 1
+    assert len(trainer.logger.results["loss"]) >= 1  # controller epochs
