@@ -123,6 +123,62 @@ def follow_trajectories(
     }
 
 
+def follow_analytic(
+    net_params,
+    dyn_params,
+    ref_window_fn,
+    project_fn,
+    init_state,
+    thresh_div=1.0,
+    thresh_stable=1.0,
+    dyn_step=quad_step,
+    horizon=10,
+    max_steps=251,
+    dt=0.1,
+):
+    """Closed-loop rollout on an analytic reference (hover/straight/circle).
+
+    The receding-horizon window is recomputed from the drone state each step
+    via the closed-form min-jerk planner (the reference's Hover/Straight/
+    Circle ``get_ref_traj``); episodes break on divergence (test-time
+    semantics — the reference's train-time reset only exists for replay
+    trajectories, evaluate_drone.py:177-184).
+
+    Args:
+        ref_window_fn: (state (12,)) -> (horizon, 9) min-jerk window.
+        project_fn: (pos (3,)) -> (3,) projection onto the reference.
+        init_state: (n, 12) initial states.
+    Returns dict: divergences (n, T), valid (n, T).
+    """
+
+    @partial(jax.jit, static_argnames=())
+    def _run(net_params, dyn_params, init_state):
+        n = init_state.shape[0]
+
+        def body(carry, i):
+            state, done = carry
+            window = jax.vmap(ref_window_fn)(state)
+            in_state, _, in_ref, _ = quad_prepare_data(state, window)
+            logits = control_net_apply(net_params, in_state, in_ref)
+            actions = jax.nn.sigmoid(logits).reshape(n, -1, 4)
+            new_state = dyn_step(dyn_params, state, actions[:, 0], dt)
+            stable = quad_is_stable(new_state, thresh_stable)
+            proj = jax.vmap(project_fn)(new_state[:, :3])
+            div = jnp.linalg.norm(proj - new_state[:, :3], axis=1)
+            diverged = jnp.logical_or(div > thresh_div, ~stable)
+            step_valid = ~done
+            new_done = jnp.logical_or(done, diverged)
+            next_state = jnp.where(done[:, None], state, new_state)
+            return (next_state, new_done), (div, step_valid)
+
+        init = (init_state, jnp.zeros(n, dtype=bool))
+        _, (divs, valid) = jax.lax.scan(body, init, jnp.arange(max_steps))
+        return jnp.swapaxes(divs, 0, 1), jnp.swapaxes(valid, 0, 1)
+
+    divs, valid = _run(net_params, dyn_params, init_state)
+    return {"divergences": divs, "valid": valid}
+
+
 def run_eval(
     net_params,
     dyn_params,

@@ -299,6 +299,8 @@ class TrainQuad:
 
         if epoch > 0 and metrics["mean_success"] > self.best_score:
             self.best_score = metrics["mean_success"]
+            # epoch-suffixed snapshot on improvement (train_base.py:233-244)
+            self._save(epoch=epoch)
             self._save()
         return metrics
 
@@ -374,9 +376,10 @@ class TrainQuad:
         self.finalize()
         return self
 
-    def _save(self):
+    def _save(self, epoch=None):
+        name = "model_quad" + (str(epoch) if epoch is not None else "")
         save_checkpoint(
-            self.save_path, "model_quad", self.net,
+            self.save_path, name, self.net,
             {
                 **self.config,
                 "thresh_div": self.thresh_div,

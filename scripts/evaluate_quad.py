@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Evaluate a trained quad controller (counterpart of the reference's
+scripts/evaluate_drone.py): random-trajectory tracking, analytic references
+(hover/straight/circle), and robustness sweeps."""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_quad_controller(model_path, epoch=""):
+    import jax
+    from apg_trajectory_tracking_tpu.models import init_control_net
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        load_checkpoint,
+        load_config,
+    )
+
+    cfg = load_config(model_path)
+    out_dim = cfg["action_dim"] * cfg["horizon"]
+    template = init_control_net(
+        jax.random.PRNGKey(0), 15, cfg["horizon"], cfg["ref_dim"], out_dim,
+        conv=True,
+    )
+    net = load_checkpoint(model_path, "model_quad" + epoch, template)
+    return net, cfg
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--model", default="test",
+                        help="model dir name under trained_models/quad/")
+    parser.add_argument("-e", "--epoch", default="")
+    parser.add_argument("-r", "--ref", default="rand",
+                        choices=["rand", "hover", "straight", "circle"])
+    parser.add_argument("-a", "--eval", type=int, default=10,
+                        help="number of eval runs")
+    parser.add_argument("--speed", type=float, default=None)
+    parser.add_argument("--sweep", action="store_true",
+                        help="robustness sweep over dynamics params")
+    parser.add_argument("--data_dir", default="data/traj_data")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import (
+        run_eval,
+        follow_analytic,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.robustness import param_sweep
+    from apg_trajectory_tracking_tpu.dynamics.quad import DEFAULT_QUAD_CFG
+    from apg_trajectory_tracking_tpu.trajectory.generate import (
+        ensure_trajectory_bank,
+        load_trajectory_bank,
+        prepare_trajectory,
+    )
+    from apg_trajectory_tracking_tpu.trajectory import refs as R
+
+    model_path = os.path.join("trained_models", "quad", args.model)
+    net, cfg = load_quad_controller(model_path, args.epoch)
+    speed = args.speed or cfg.get("speed_factor", 0.4)
+    dt, horizon = cfg["dt"] if "dt" in cfg else cfg["delta_t"], cfg["horizon"]
+
+    if args.ref == "rand":
+        bank = load_trajectory_bank(
+            ensure_trajectory_bank(args.data_dir), test=True
+        )
+        rng = np.random.RandomState(42)
+
+        def eval_with(modified_params):
+            dyn = quad_params(modified_params)
+            idx = rng.randint(len(bank), size=args.eval)
+            references = np.stack(
+                [prepare_trajectory(bank[i], dt, speed) for i in idx]
+            )
+            references[:, :, 2] += 3.0
+            metrics, _ = run_eval(
+                net, dyn, jnp.asarray(references),
+                references.shape[1] - horizon,
+                thresh_div=1.0, thresh_stable=1.0, horizon=horizon, dt=dt,
+                test_time=True,
+            )
+            return metrics
+
+        if args.sweep:
+            results = param_sweep(
+                lambda mp: {
+                    "err": eval_with(mp)["mean_divergence"],
+                    "stable": eval_with(mp)["ratio_stable"],
+                },
+                DEFAULT_QUAD_CFG,
+            )
+            print(json.dumps(results, indent=1, default=float))
+            return
+        metrics = eval_with({})
+        print(
+            "Average tracking error: %.2f (%.2f)"
+            % (metrics["mean_divergence"], metrics["std_divergence"])
+        )
+        print("Ratio of stable runs: %.2f" % metrics["ratio_stable"])
+        print(json.dumps(metrics, default=float))
+        return
+
+    # analytic references
+    dyn = quad_params()
+    n = args.eval
+    init_state = jnp.zeros((n, 12), dtype=jnp.float32).at[:, 2].set(3.0)
+    max_dist = cfg.get("max_drone_dist", 0.25)
+
+    if args.ref == "hover":
+        target = jnp.array([0.0, 0.0, 3.0])
+        window_fn = lambda s: R.hover_ref_window(target, s, dt, horizon)
+        project_fn = lambda p: target
+    elif args.ref == "straight":
+        s0 = R.straight_init(
+            jnp.array([0.0, 0.0, 3.0]), jnp.array([1.0, 0.3, 0.1])
+        )
+        window_fn = lambda s: R.straight_ref_window(
+            s0, s, dt, horizon, max_dist
+        )
+        project_fn = lambda p: R.straight_project(s0, p)
+    else:  # circle
+        c = R.circle_init(
+            jnp.array([0.0, 0.0, 3.0]), jnp.array([0.0, 1.0, 0.0]),
+            radius=2.0, direction=1.0, plane=(0, 1),
+        )
+        window_fn = lambda s: R.circle_ref_window(
+            c, s, dt, horizon, max_dist, (0, 1)
+        )
+        project_fn = lambda p: R.circle_project(c, p, (0, 1))
+
+    roll = follow_analytic(
+        net, dyn, window_fn, project_fn, init_state,
+        thresh_div=1.0, thresh_stable=1.0, horizon=horizon, dt=dt,
+    )
+    divs = np.asarray(roll["divergences"])
+    valid = np.asarray(roll["valid"])
+    err = (divs * valid).sum() / max(valid.sum(), 1)
+    print(f"{args.ref}: avg divergence {err:.3f}, "
+          f"mean steps before divergence "
+          f"{valid.sum(axis=1).mean():.1f}")
+
+
+if __name__ == "__main__":
+    main()

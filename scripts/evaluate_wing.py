@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Evaluate a trained fixed-wing controller (counterpart of the reference's
+scripts/evaluate_fixed_wing.py): waypoint passing error + robustness."""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_wing_controller(model_path, epoch=""):
+    import jax
+    from apg_trajectory_tracking_tpu.models import init_control_net
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        load_checkpoint,
+        load_config,
+    )
+
+    cfg = load_config(model_path)
+    template = init_control_net(
+        jax.random.PRNGKey(0), cfg["state_size"] - 3, 1, cfg["ref_dim"],
+        cfg["action_dim"] * cfg["horizon"], conv=False,
+    )
+    net = load_checkpoint(model_path, "model_wing" + epoch, template)
+    return net, cfg
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--model", default="test")
+    parser.add_argument("-e", "--epoch", default="")
+    parser.add_argument("-a", "--eval", type=int, default=10)
+    parser.add_argument("--sweep", action="store_true")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
+
+    import jax
+    import jax.numpy as jnp
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import (
+        wing_params,
+        DEFAULT_WING_CFG,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.wing_eval import run_eval
+    from apg_trajectory_tracking_tpu.evaluation.robustness import param_sweep
+    from apg_trajectory_tracking_tpu.data.dataset import WING_MEAN, WING_STD
+
+    model_path = os.path.join("trained_models", "wing", args.model)
+    net, cfg = load_wing_controller(model_path, args.epoch)
+    dt, horizon = cfg["delta_t"], cfg["horizon"]
+    mean = jnp.asarray(cfg.get("mean", WING_MEAN))
+    std = jnp.asarray(cfg.get("std", WING_STD))
+
+    def eval_with(modified_params):
+        dyn = wing_params(modified_params)
+        metrics, _, _ = run_eval(
+            net, dyn, jax.random.PRNGKey(42), mean, std,
+            nr_test=args.eval, thresh_div=cfg.get("thresh_div", 10.0),
+            thresh_stable=3.0, horizon=horizon, dt=dt, test_time=True,
+        )
+        return metrics
+
+    if args.sweep:
+        keys = {
+            k: v for k, v in DEFAULT_WING_CFG.items()
+            if k in ("mass", "rho", "S", "c", "b", "I_xx", "I_yy", "I_zz",
+                     "CL0", "CD0", "Cm0")
+        }
+        print(json.dumps(param_sweep(eval_with, keys), indent=1,
+                         default=float))
+        return
+    m = eval_with({})
+    print("Average error (target): %.2f (%.2f)"
+          % (m["mean_success"], m["std_success"]))
+    print(json.dumps(m, default=float))
+
+
+if __name__ == "__main__":
+    main()
