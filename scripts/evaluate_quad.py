@@ -75,6 +75,49 @@ def main():
     )
     from apg_trajectory_tracking_tpu.trajectory import refs as R
 
+    if args.model == "mpc":
+        # MPC baseline on random trajectories (evaluate_drone.py:384-387)
+        from apg_trajectory_tracking_tpu.controllers.mpc import MPC
+        from apg_trajectory_tracking_tpu.dynamics.quad import quad_step
+
+        dt, horizon = 0.1, 10
+        speed = args.speed or 0.4
+        mpc = MPC(horizon=horizon, dt=dt, dynamics="flightmare")
+        bank = load_trajectory_bank(
+            ensure_trajectory_bank(args.data_dir), test=True
+        )
+        rng = np.random.RandomState(42)
+        dyn = quad_params()
+        divs_all, stable_all = [], []
+        for t in range(args.eval):
+            ref = prepare_trajectory(
+                bank[rng.randint(len(bank))], dt, speed
+            )
+            ref[:, 2] += 3.0
+            mpc.reset()
+            state = np.zeros(12, dtype=np.float32)
+            state[:3] = ref[0, :3]
+            divs = []
+            for i in range(min(251, len(ref) - horizon)):
+                window = ref[i + 1:i + 1 + horizon]
+                # MPC consumes [pos, att, vel] rows directly
+                actions = mpc.predict_actions(state, window)
+                state = np.asarray(
+                    quad_step(dyn, jnp.asarray(state[None]),
+                              jnp.asarray(actions[:1]), dt)
+                )[0]
+                div = np.linalg.norm(ref[i + 1, :3] - state[:3])
+                divs.append(div)
+                if div > 1.0:
+                    break
+            divs_all.append(np.mean(divs))
+            stable_all.append(len(divs))
+        print(
+            "MPC tracking error: %.3f (%.3f), mean steps %.1f"
+            % (np.mean(divs_all), np.std(divs_all), np.mean(stable_all))
+        )
+        return
+
     model_path = os.path.join("trained_models", "quad", args.model)
     net, cfg = load_quad_controller(model_path, args.epoch)
     speed = args.speed or cfg.get("speed_factor", 0.4)
