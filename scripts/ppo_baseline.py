@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Pure-JAX PPO baseline (counterpart of the reference's
+baselines/ppo_baseline.py, replacing stable-baselines3)."""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-r", "--robot", default="cartpole",
+                        choices=["cartpole", "quad", "wing"])
+    parser.add_argument("--timesteps", type=int, default=None)
+    parser.add_argument("--n_envs", type=int, default=16)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("-s", "--save_name", default="ppo")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
+
+    import jax.numpy as jnp
+    import numpy as np
+    from apg_trajectory_tracking_tpu.baselines.ppo import (
+        train_ppo,
+        PPOConfig,
+    )
+    from apg_trajectory_tracking_tpu.baselines import rl_envs
+    from apg_trajectory_tracking_tpu.utils.checkpoints import save_checkpoint
+
+    if args.robot == "cartpole":
+        from apg_trajectory_tracking_tpu.dynamics.cartpole import (
+            cartpole_params,
+        )
+
+        reset_fn, step_fn, obs_dim, act_dim = rl_envs.make_cartpole_rl(
+            cartpole_params()
+        )
+        default_steps = 500_000
+        act_low, act_high = -1.0, 1.0
+    elif args.robot == "quad":
+        from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+        from apg_trajectory_tracking_tpu.trajectory.generate import (
+            ensure_trajectory_bank,
+            load_trajectory_bank,
+            prepare_trajectory,
+        )
+
+        bank = load_trajectory_bank(ensure_trajectory_bank("data/traj_data"))
+        prepared = np.stack(
+            [prepare_trajectory(t, 0.1, 0.2) for t in bank[:64]]
+        )
+        reset_fn, step_fn, obs_dim, act_dim = rl_envs.make_quad_rl(
+            quad_params(), jnp.asarray(prepared)
+        )
+        default_steps = 2_000_000
+        act_low, act_high = -1.0, 1.0
+    else:
+        from apg_trajectory_tracking_tpu.dynamics.fixed_wing import (
+            wing_params,
+        )
+
+        reset_fn, step_fn, obs_dim, act_dim = rl_envs.make_wing_rl(
+            wing_params()
+        )
+        default_steps = 500_000
+        act_low, act_high = 0.0, 1.0
+
+    cfg = PPOConfig(n_envs=args.n_envs, act_low=act_low, act_high=act_high)
+    params, history = train_ppo(
+        reset_fn, step_fn, obs_dim, act_dim,
+        total_timesteps=args.timesteps or default_steps,
+        cfg=cfg, seed=args.seed,
+    )
+
+    save_path = os.path.join("trained_models", args.robot, args.save_name)
+    save_checkpoint(save_path, "model_ppo", params, {"robot": args.robot})
+    with open(os.path.join(save_path, "ppo_history.json"), "w") as f:
+        json.dump(history, f)
+    print("saved to", save_path)
+
+
+if __name__ == "__main__":
+    main()

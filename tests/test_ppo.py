@@ -1,0 +1,69 @@
+"""PPO baseline tests: machinery correctness + fast learning signal."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from apg_trajectory_tracking_tpu.baselines.ppo import (
+    PPOConfig,
+    make_ppo,
+    train_ppo,
+)
+from apg_trajectory_tracking_tpu.baselines import rl_envs
+from apg_trajectory_tracking_tpu.dynamics.cartpole import cartpole_params
+
+
+def test_ppo_cartpole_improves():
+    """Episode length must grow substantially within a small budget."""
+    reset_fn, step_fn, obs_dim, act_dim = rl_envs.make_cartpole_rl(
+        cartpole_params()
+    )
+    cfg = PPOConfig(n_envs=8, n_steps=128)
+    init, train_iter = make_ppo(reset_fn, step_fn, obs_dim, act_dim, cfg)
+    state = init(jax.random.PRNGKey(0))
+    first = None
+    for it in range(25):
+        state, metrics = train_iter(state)
+        if it == 0:
+            first = float(metrics["mean_episode_len"])
+    last = float(metrics["mean_episode_len"])
+    assert last > 3 * first, f"no learning: ep_len {first} -> {last}"
+
+
+def test_quad_rl_env_contract():
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+
+    bank = np.random.RandomState(0).randn(3, 60, 9).astype(np.float32) * 0.1
+    reset_fn, step_fn, obs_dim, act_dim = rl_envs.make_quad_rl(
+        quad_params(), jnp.asarray(bank)
+    )
+    s, obs = reset_fn(jax.random.PRNGKey(0))
+    assert obs.shape == (obs_dim,)
+    s, obs, rew, done = step_fn(
+        s, jnp.zeros(act_dim), jax.random.PRNGKey(1)
+    )
+    assert obs.shape == (obs_dim,) and np.isfinite(float(rew))
+
+
+def test_wing_rl_env_contract():
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import wing_params
+
+    reset_fn, step_fn, obs_dim, act_dim = rl_envs.make_wing_rl(wing_params())
+    s, obs = reset_fn(jax.random.PRNGKey(0))
+    assert obs.shape == (12,)
+    # cruise-ish action keeps it alive and rewarded
+    s, obs, rew, done = step_fn(
+        s, jnp.array([0.25, 0.5, 0.5, 0.5]), jax.random.PRNGKey(1)
+    )
+    assert float(rew) > 0 and not bool(done)
+
+
+def test_auto_reset():
+    """A fallen cartpole must be re-initialized upright."""
+    reset_fn, step_fn, _, _ = rl_envs.make_cartpole_rl(cartpole_params())
+    s, _ = reset_fn(jax.random.PRNGKey(0))
+    s = s._replace(state=jnp.array([0.0, 0.0, 1.0, 0.0]))  # fallen
+    s, obs, rew, done = step_fn(s, jnp.zeros(1), jax.random.PRNGKey(1))
+    assert bool(done)
+    assert abs(float(s.state[2])) < 0.3  # fresh upright state
+    assert float(rew) == 0.0
