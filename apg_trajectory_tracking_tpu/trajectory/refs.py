@@ -305,6 +305,53 @@ def polynomial_reference(
     return out.astype(np.float32)
 
 
+def waypoint_reference(
+    rng,
+    points_to_traverse,
+    start_pos,
+    max_drone_dist=0.25,
+    horizon=10,
+    hover_steps=50,
+    dt=0.05,
+):
+    """Cubic-spline reference through given waypoints (Polynomial.cubic_fit,
+    polynomial.py:57-82), returned as a (T, 9) array [pos, zeros, vel] with
+    hover padding — same consumption path as the random replay references.
+    Used with the predefined waypoint sets (predefined_trajectories.py).
+    """
+    from scipy.interpolate import CubicSpline
+
+    pts = np.asarray(points_to_traverse, dtype=float)
+    dist_points = max_drone_dist / horizon
+    dists = [0.0] + [
+        np.linalg.norm(pts[i] - pts[i + 1]) for i in range(len(pts) - 1)
+    ]
+    cum = np.cumsum(dists)
+
+    # dummy endpoint anchors to avoid fast starts (polynomial.py:64-74)
+    add_before = pts[1]
+    add_after = pts[-1] - (rng.rand(3) * 2 - 1)
+    x = np.array([-dists[1]] + cum.tolist() + [cum[-1] + np.linalg.norm(add_after)])
+    fit_pts = np.vstack([add_before, pts, add_after])
+    spline = CubicSpline(x, fit_pts)
+
+    xs = np.arange(0, cum[-1], dist_points)
+    sampled = spline(xs)
+    sampled = sampled - sampled[0] + np.asarray(start_pos)
+
+    full = np.concatenate(
+        [
+            np.tile(sampled[0], (hover_steps, 1)),
+            sampled,
+            np.tile(sampled[-1], (hover_steps, 1)),
+        ]
+    )
+    vel = np.gradient(full, axis=0) / dt
+    return np.concatenate(
+        [full, np.zeros_like(full), vel], axis=1
+    ).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # misc
 # ---------------------------------------------------------------------------

@@ -35,7 +35,11 @@ def main():
                         help="model dir name under trained_models/quad/")
     parser.add_argument("-e", "--epoch", default="")
     parser.add_argument("-r", "--ref", default="rand",
-                        choices=["rand", "hover", "straight", "circle"])
+                        choices=["rand", "poly", "hover", "straight",
+                                 "circle"])
+    parser.add_argument("-p", "--points", default=None,
+                        help="predefined waypoint set "
+                             "(eight/curve/flat_eight/sinus)")
     parser.add_argument("-a", "--eval", type=int, default=10,
                         help="number of eval runs")
     parser.add_argument("--speed", type=float, default=None)
@@ -123,19 +127,54 @@ def main():
     speed = args.speed or cfg.get("speed_factor", 0.4)
     dt, horizon = cfg["dt"] if "dt" in cfg else cfg["delta_t"], cfg["horizon"]
 
-    if args.ref == "rand":
-        bank = load_trajectory_bank(
-            ensure_trajectory_bank(args.data_dir), test=True
-        )
+    if args.ref in ("rand", "poly") or args.points is not None:
         rng = np.random.RandomState(42)
+
+        def _stack_pad(ref_list):
+            T = min(len(r) for r in ref_list)
+            return np.stack([r[:T] for r in ref_list])
+        if args.points is not None:
+            from apg_trajectory_tracking_tpu.trajectory.predefined import (
+                collected_trajectories,
+            )
+            from apg_trajectory_tracking_tpu.trajectory.refs import (
+                waypoint_reference,
+            )
+
+            pts = collected_trajectories[args.points]
+            make_refs = lambda: _stack_pad(
+                [
+                    waypoint_reference(rng, pts, [0, 0, 3.0], dt=dt)
+                    for _ in range(args.eval)
+                ]
+            )
+        elif args.ref == "poly":
+            from apg_trajectory_tracking_tpu.trajectory.refs import (
+                polynomial_reference,
+            )
+
+            make_refs = lambda: _stack_pad(
+                [
+                    polynomial_reference(rng, [0, 0, 3.0], dt=dt)
+                    for _ in range(args.eval)
+                ]
+            )
+        else:
+            bank = load_trajectory_bank(
+                ensure_trajectory_bank(args.data_dir), test=True
+            )
+
+            def make_refs():
+                idx = rng.randint(len(bank), size=args.eval)
+                out = np.stack(
+                    [prepare_trajectory(bank[i], dt, speed) for i in idx]
+                )
+                out[:, :, 2] += 3.0
+                return out
 
         def eval_with(modified_params):
             dyn = quad_params(modified_params)
-            idx = rng.randint(len(bank), size=args.eval)
-            references = np.stack(
-                [prepare_trajectory(bank[i], dt, speed) for i in idx]
-            )
-            references[:, :, 2] += 3.0
+            references = make_refs()
             metrics, _ = run_eval(
                 net, dyn, jnp.asarray(references),
                 references.shape[1] - horizon,
