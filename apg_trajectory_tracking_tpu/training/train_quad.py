@@ -347,16 +347,25 @@ class TrainQuad:
             print(f" ---- increase speed to {self.speed_factor} ---- ")
 
     def run_epoch(self):
+        import time
+
         self.key, k = jax.random.split(self.key)
         idx = shuffled_batches(
             k, len(self.buffers.states), self.batch_size
         )
+        t0 = time.perf_counter()
         self.net, self.opt_state, loss = self._train_epoch(
             self.net, self.opt_state, self.train_dyn,
             self.buffers.states, self.buffers.refs, idx,
         )
-        loss = float(loss)
+        loss = float(loss)  # blocks; epoch time includes device work
+        dt_epoch = time.perf_counter() - t0
         self.logger.log("loss", loss)
+        self.logger.log("epoch_time_s", dt_epoch)
+        self.logger.log(
+            "env_steps_per_s",
+            idx.size * self.horizon / max(dt_epoch, 1e-9),
+        )
         return loss
 
     def fit(self, nr_epochs=None, nr_test=10, verbose=True):
