@@ -41,23 +41,38 @@ def main():
     dyn = quad_params()
 
     step = build_concurrent_step(quad_step, optimizer, 0.1, HORIZON, 4)
-    jit_step = jax.jit(step, donate_argnums=(0, 1))
 
     rng = np.random.RandomState(0)
     states = jnp.asarray(rng.randn(BATCH, 12).astype(np.float32) * 0.3)
     refs = jnp.asarray(rng.randn(BATCH, HORIZON, 9).astype(np.float32) * 0.3)
 
+    iters = 50
+
+    # The production epoch loop runs all minibatch steps inside ONE jitted
+    # lax.scan dispatch (training/common.py epoch_scan), so the benchmark
+    # iterates on device too — a per-step host dispatch would measure the
+    # axon tunnel's round-trip latency, not the chip.
+    @jax.jit
+    def run_iters(net, opt_state, states, refs):
+        def body(carry, _):
+            n, o = carry
+            n, o, loss = step(n, o, dyn, states, refs)
+            return (n, o), loss
+        (net, opt_state), losses = jax.lax.scan(
+            body, (net, opt_state), None, length=iters
+        )
+        return net, opt_state, losses[-1]
+
     # warmup / compile
-    for _ in range(3):
-        net, opt_state, loss = jit_step(net, opt_state, dyn, states, refs)
+    net, opt_state, loss = run_iters(net, opt_state, states, refs)
     jax.block_until_ready(loss)
 
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        net, opt_state, loss = jit_step(net, opt_state, dyn, states, refs)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / iters
+    dt = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        net, opt_state, loss = run_iters(net, opt_state, states, refs)
+        jax.block_until_ready(loss)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
 
     env_steps_per_s = BATCH * HORIZON / dt
 
