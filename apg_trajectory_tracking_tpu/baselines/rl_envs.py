@@ -53,14 +53,33 @@ class CartpoleRLState(NamedTuple):
     step_ind: jnp.ndarray  # scalar int32
 
 
-def make_cartpole_rl(dyn_params, dt=0.05, max_steps=250):
-    obs_dim, act_dim = 15, 1  # 3 x (state(4) + action(1)) history
-
-    def _obs(s: CartpoleRLState):
-        hist = jnp.concatenate(
-            [s.state_buffer[:3], s.action_buffer[:3]], axis=1
+def make_cartpole_rl(dyn_params, dt=0.05, max_steps=250, image_obs=False):
+    """Cartpole RL adapter. ``image_obs=False``: obs = flattened 3-step
+    (state, action) history (rl_envs.py:39-44,92-95). ``image_obs=True``:
+    obs = (3, 100, 120) binary image stack rendered from the state history
+    (rl_envs.py:36-50,99-101 — the reference screenshots pyglet + cv2-
+    thresholds; here states render procedurally on device), cart-centered
+    like the reference's ``center_at_x`` roll."""
+    if image_obs:
+        from apg_trajectory_tracking_tpu.models.image_cartpole import (
+            render_cartpole_image,
         )
-        return hist.reshape(-1)
+
+        obs_dim = (3, 100, 120)
+
+        def _obs(s: CartpoleRLState):
+            return jax.vmap(render_cartpole_image)(s.state_buffer[:3])
+
+    else:
+        obs_dim = 15  # 3 x (state(4) + action(1)) history
+
+        def _obs(s: CartpoleRLState):
+            hist = jnp.concatenate(
+                [s.state_buffer[:3], s.action_buffer[:3]], axis=1
+            )
+            return hist.reshape(-1)
+
+    act_dim = 1
 
     def reset(key):
         state = reset_upright(key, 1)[0]

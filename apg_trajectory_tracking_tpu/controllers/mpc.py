@@ -31,6 +31,7 @@ from apg_trajectory_tracking_tpu.dynamics.quad import (
     quad_params,
     quad_step,
     quad_step_simple,
+    quad_step_high,
 )
 from apg_trajectory_tracking_tpu.dynamics.fixed_wing import (
     wing_params,
@@ -81,6 +82,17 @@ _SPECS = {
         u_min=jnp.zeros(4, jnp.float32),
         u_max=jnp.ones(4, jnp.float32),
     ),
+    # _initParamsHighMPC (mpc.py:65-85): 10-state quaternion point-mass;
+    # action = [collective thrust 2..20 m/s^2, body rates +-6 rad/s]
+    "high_mpc": MPCSpec(
+        q_pen=jnp.asarray(
+            [0, 100, 100, 0, 0, 0, 0, 0, 10, 10], jnp.float32
+        ),
+        q_u=jnp.asarray([0.1, 0.1, 0.1, 0.1], jnp.float32),
+        u_default=jnp.asarray([9.81, 0.0, 0.0, 0.0], jnp.float32),
+        u_min=jnp.asarray([2.0, -6.0, -6.0, -6.0], jnp.float32),
+        u_max=jnp.asarray([20.0, 6.0, 6.0, 6.0], jnp.float32),
+    ),
     # _initParamsFixedWing_2D (mpc.py:119-133)
     "fixed_wing_2D": MPCSpec(
         q_pen=jnp.asarray([1000, 1000, 0, 0, 0, 0], jnp.float32),
@@ -94,6 +106,7 @@ _SPECS = {
 _STEPS = {
     "flightmare": (quad_step, quad_params),
     "simple_quad": (quad_step_simple, quad_params),
+    "high_mpc": (quad_step_high, quad_params),
     "cartpole": (cartpole_step, cartpole_params),
     "fixed_wing_3D": (wing_step, wing_params),
     "fixed_wing_2D": (wing2d_step, wing2d_params),
@@ -199,6 +212,28 @@ class MPC:
         ref[:, 6:9] = ref_states[: self.horizon, 6:9]
         return ref
 
+    def _ref_high(self, state, ref_states):
+        """Quaternion-model reference rows [pos, 0-quat, vel]: the reference
+        zeroes the quaternion slots of every reference row (mpc.py:307-315)
+        and its Q_pen never weights them."""
+        ref = np.zeros((self.horizon, 10), dtype=np.float32)
+        ref_states = np.asarray(ref_states)
+        ref[:, :3] = ref_states[: self.horizon, :3]
+        ref[:, 7:10] = ref_states[: self.horizon, 6:9]
+        return ref
+
+    @staticmethod
+    def _euler_state_to_quat(state):
+        """12-dim euler state -> 10-dim [pos, quat wxyz, vel]."""
+        from apg_trajectory_tracking_tpu.trajectory.quaternions import (
+            euler_to_quaternion,
+        )
+
+        q = euler_to_quaternion(state[3], state[4], state[5])
+        return np.concatenate(
+            [state[:3], np.asarray(q, dtype=np.float32), state[6:9]]
+        ).astype(np.float32)
+
     def _ref_wing(self, state, target):
         """Linear ramp toward the target at the current speed
         (preprocess_fixed_wing, mpc.py:415-437). For the 2D longitudinal
@@ -227,7 +262,11 @@ class MPC:
         """Solve the OCP from the current state; returns (horizon, u)
         actions (caller uses row 0, as the reference does)."""
         state = np.asarray(current_state, dtype=np.float32).reshape(-1)
-        if self.dynamics_model in ("flightmare", "simple_quad"):
+        if self.dynamics_model == "high_mpc":
+            if state.shape[0] == 12:  # euler-state input from the quad env
+                state = self._euler_state_to_quat(state)
+            ref = self._ref_high(state, ref_states)
+        elif self.dynamics_model in ("flightmare", "simple_quad"):
             ref = self._ref_quad(state, ref_states)
         elif self.dynamics_model in ("fixed_wing_3D", "fixed_wing_2D"):
             ref = self._ref_wing(state, ref_states)

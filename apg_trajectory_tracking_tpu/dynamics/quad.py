@@ -214,3 +214,53 @@ def quad_is_stable(state, thresh=0.4):
     vectorized mask for use inside jitted rollouts.
     """
     return jnp.all(jnp.abs(state[..., 3:5]) < thresh, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# quaternion point-mass model ("high_mpc")
+# ---------------------------------------------------------------------------
+
+_GZ = 9.81
+
+
+def _quad_high_deriv(state, action):
+    """State derivative of the 10-state quaternion model
+    (get_dynamics_high_mpc, mpc.py:473-512): state = [pos(3), quat wxyz(4),
+    vel(3)], action = [collective thrust (m/s^2), body rates (rad/s)]."""
+    qw, qx, qy, qz = (
+        state[..., 3], state[..., 4], state[..., 5], state[..., 6]
+    )
+    thrust, wx, wy, wz = (
+        action[..., 0], action[..., 1], action[..., 2], action[..., 3]
+    )
+    return jnp.stack(
+        [
+            state[..., 7],
+            state[..., 8],
+            state[..., 9],
+            0.5 * (-wx * qx - wy * qy - wz * qz),
+            0.5 * (wx * qw + wz * qy - wy * qz),
+            0.5 * (wy * qw - wz * qx + wx * qz),
+            0.5 * (wz * qw + wy * qx - wx * qy),
+            2 * (qw * qy + qx * qz) * thrust,
+            2 * (qy * qz - qw * qx) * thrust,
+            (qw * qw - qx * qx - qy * qy + qz * qz) * thrust - _GZ,
+        ],
+        axis=-1,
+    )
+
+
+def quad_step_high(params, state, action, dt, refinement=4):
+    """RK4 step of the quaternion model with ``refinement`` substeps
+    (drone_dynamics_high_mpc, mpc.py:451-471). ``params`` is unused (the
+    model is parameter-free beyond gravity) but kept for the shared
+    ``step(params, state, action, dt)`` calling convention."""
+    del params
+    h = dt / refinement
+    for _ in range(refinement):
+        k1 = h * _quad_high_deriv(state, action)
+        k2 = h * _quad_high_deriv(state + 0.5 * k1, action)
+        k3 = h * _quad_high_deriv(state + 0.5 * k2, action)
+        k4 = h * _quad_high_deriv(state + k3, action)
+        state = state + (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
+    return state

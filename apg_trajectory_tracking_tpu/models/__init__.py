@@ -11,3 +11,7 @@ from apg_trajectory_tracking_tpu.models.rnn import (  # noqa: F401
     lstm_net_apply,
     init_lstm_state,
 )
+from apg_trajectory_tracking_tpu.models.resnet import (  # noqa: F401
+    init_resnet_net,
+    resnet_net_apply,
+)

@@ -16,18 +16,31 @@ import numpy as np
 
 
 class ResultsLogger:
-    def __init__(self, save_path):
+    def __init__(self, save_path, tensorboard=False):
         self.save_path = save_path
         os.makedirs(save_path, exist_ok=True)
         self.results = defaultdict(list)
         # match the reference's offset so losses and evals align
         # (train_base.py:96)
         self.results["loss"].append(0)
+        # import-guarded TensorBoard scalars, like the reference's no-op
+        # SummaryWriter fallback (train_base.py:8-27)
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(save_path)
+            except Exception:
+                pass
 
     def log(self, key, value):
         self.results[key].append(
             float(value) if np.isscalar(value) or hasattr(value, "item") else value
         )
+        if self._tb is not None and np.isscalar(self.results[key][-1]):
+            self._tb.add_scalar(key, self.results[key][-1],
+                                len(self.results[key]) - 1)
 
     def log_dict(self, d):
         for k, v in d.items():
@@ -57,6 +70,8 @@ class ResultsLogger:
                 self._plot()
             except Exception as exc:  # matplotlib optional/headless issues
                 print(f"performance plot skipped: {exc}")
+        if self._tb is not None:
+            self._tb.flush()
 
     def _plot(self):
         import matplotlib

@@ -47,6 +47,9 @@ def main():
                         help="robustness sweep over dynamics params")
     parser.add_argument("--data_dir", default="data/traj_data")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--mpc_dynamics", default="flightmare",
+                        choices=["flightmare", "simple_quad", "high_mpc"],
+                        help="internal model for -m mpc (mpc.py:23)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -86,7 +89,7 @@ def main():
 
         dt, horizon = 0.1, 10
         speed = args.speed or 0.4
-        mpc = MPC(horizon=horizon, dt=dt, dynamics="flightmare")
+        mpc = MPC(horizon=horizon, dt=dt, dynamics=args.mpc_dynamics)
         bank = load_trajectory_bank(
             ensure_trajectory_bank(args.data_dir), test=True
         )
@@ -106,6 +109,16 @@ def main():
                 window = ref[i + 1:i + 1 + horizon]
                 # MPC consumes [pos, att, vel] rows directly
                 actions = mpc.predict_actions(state, window)
+                if args.mpc_dynamics == "high_mpc":
+                    # physical (thrust m/s^2, body rates rad/s) -> the
+                    # flightmare env's normalized action (quad.py:79-86)
+                    actions = np.concatenate(
+                        [
+                            (actions[:, :1] - 9.81 + 7.5) / 15.0,
+                            np.clip(actions[:, 1:4] + 0.5, 0.0, 1.0),
+                        ],
+                        axis=1,
+                    )
                 state = np.asarray(
                     quad_step(dyn, jnp.asarray(state[None]),
                               jnp.asarray(actions[:1]), dt)
