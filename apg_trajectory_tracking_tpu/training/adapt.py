@@ -115,7 +115,7 @@ class TrainCartpoleAdapt(TrainCartpole):
                 return nxt, nxt
 
             _, inter = jax.lax.scan(
-                body, states, jnp.swapaxes(action_seq, 0, 1)
+                body, states, jnp.swapaxes(action_seq, 0, 1), unroll=True
             )
             return cartpole_loss_mpc(
                 jnp.swapaxes(inter, 0, 1), ref_states, action_seq

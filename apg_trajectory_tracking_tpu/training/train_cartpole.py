@@ -61,7 +61,7 @@ def build_train_step(dyn_step, dyn_params, optimizer, dt, horizon):
             return nxt, nxt
 
         _, inter = jax.lax.scan(
-            body, states, jnp.swapaxes(action_seq, 0, 1)
+            body, states, jnp.swapaxes(action_seq, 0, 1), unroll=True
         )
         inter = jnp.swapaxes(inter, 0, 1)
         return cartpole_loss_mpc(inter, ref_states, action_seq)

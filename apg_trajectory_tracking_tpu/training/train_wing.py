@@ -59,7 +59,8 @@ def build_wing_step(dyn_step, optimizer, dt_train, dt, horizon, mean, std):
             return nxt, nxt
 
         _, inter = jax.lax.scan(
-            body, current_state, jnp.swapaxes(action_seq, 0, 1)
+            body, current_state, jnp.swapaxes(action_seq, 0, 1),
+            unroll=True,
         )
         inter = jnp.swapaxes(inter, 0, 1)
         return fixed_wing_mpc_loss(inter, target_pos, action_seq)
