@@ -19,7 +19,7 @@ from apg_trajectory_tracking_tpu.envs.cartpole_env import (
 from apg_trajectory_tracking_tpu.models import cartpole_net_apply
 
 
-@partial(jax.jit, static_argnames=("horizon", "max_steps", "dt"))
+@partial(jax.jit, static_argnames=("nr_iters", "horizon", "max_steps", "dt"))
 def evaluate_balance(
     net_params,
     dyn_params,
