@@ -36,7 +36,7 @@ from apg_trajectory_tracking_tpu.training.common import (
     sgd_momentum,
     shuffled_batches,
 )
-from apg_trajectory_tracking_tpu.utils.checkpoints import save_checkpoint
+from apg_trajectory_tracking_tpu.utils.checkpoints import save_train_state
 from apg_trajectory_tracking_tpu.utils.logging import ResultsLogger
 
 
@@ -80,7 +80,8 @@ def build_train_step(dyn_step, dyn_params, optimizer, dt, horizon):
 class TrainCartpole:
     """Host-side orchestration; all compute is jitted device code."""
 
-    def __init__(self, config=None, swingup=True, seed=0, save_name="test"):
+    def __init__(self, config=None, swingup=True, seed=0, save_name="test",
+                 base_model=None):
         self.config = config or load_config("cartpole")
         self.swingup = swingup
         cfg = self.config
@@ -99,6 +100,18 @@ class TrainCartpole:
         )
         self.optimizer = sgd_momentum(cfg["learning_rate_controller"])
         self.opt_state = self.optimizer.init(self.net)
+
+        # resume / fine-tune (the reference's base_model path,
+        # train_cartpole.py:47-56)
+        if base_model is not None:
+            from apg_trajectory_tracking_tpu.utils.checkpoints import (
+                restore_train_state,
+            )
+
+            self.net, self.opt_state, base_cfg = restore_train_state(
+                base_model, "model_cartpole", self.net, self.opt_state
+            )
+            self.thresh_div = base_cfg.get("thresh_div", self.thresh_div)
 
         self.data = construct_states(
             k_data, cfg["sample_data"], self.dt, self.thresh_div,
@@ -160,8 +173,8 @@ class TrainCartpole:
         # save best (train_base.py:233-244, suc_up_down=-1)
         if epoch > 0 and res["mean_vel"] < self.best_score:
             self.best_score = res["mean_vel"]
-            save_checkpoint(
-                self.save_path, "model_cartpole", self.net,
+            save_train_state(
+                self.save_path, "model_cartpole", self.net, self.opt_state,
                 {**cfg, "thresh_div": self.thresh_div},
             )
         return res
@@ -180,8 +193,8 @@ class TrainCartpole:
         return self
 
     def finalize(self):
-        save_checkpoint(
-            self.save_path, "model_cartpole", self.net,
+        save_train_state(
+            self.save_path, "model_cartpole", self.net, self.opt_state,
             {**self.config, "thresh_div": self.thresh_div},
         )
         self.logger.finalize()

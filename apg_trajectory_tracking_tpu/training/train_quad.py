@@ -168,6 +168,7 @@ class TrainQuad:
         modified_params=None,
         eval_modified_params=None,
         curriculum=True,
+        base_model=None,
     ):
         self.config = cfg = dict(config or load_config("quad"))
         if train_mode is not None:
@@ -226,6 +227,23 @@ class TrainQuad:
             )
         self.optimizer = sgd_momentum(cfg["learning_rate_controller"])
         self.opt_state = self.optimizer.init(self.net)
+
+        # resume / fine-tune from a previous run (the reference's
+        # base_model path, train_drone.py:53-68): params, optimizer
+        # momentum, and curriculum scalars are restored
+        if base_model is not None:
+            from apg_trajectory_tracking_tpu.utils.checkpoints import (
+                restore_train_state,
+            )
+
+            self.net, self.opt_state, base_cfg = restore_train_state(
+                base_model, "model_quad", self.net, self.opt_state
+            )
+            self.thresh_div = base_cfg.get("thresh_div", self.thresh_div)
+            if curriculum:
+                self.speed_factor = base_cfg.get(
+                    "speed_factor", self.speed_factor
+                )
 
         # buffers: epoch_size sampled + self_play*epoch_size ring slots
         num_sampled = cfg["epoch_size"]
@@ -390,9 +408,13 @@ class TrainQuad:
         return self
 
     def _save(self, epoch=None):
+        from apg_trajectory_tracking_tpu.utils.checkpoints import (
+            save_train_state,
+        )
+
         name = "model_quad" + (str(epoch) if epoch is not None else "")
-        save_checkpoint(
-            self.save_path, name, self.net,
+        save_train_state(
+            self.save_path, name, self.net, self.opt_state,
             {
                 **self.config,
                 "thresh_div": self.thresh_div,

@@ -40,7 +40,10 @@ from apg_trajectory_tracking_tpu.training.common import (
     sgd_momentum,
     shuffled_batches,
 )
-from apg_trajectory_tracking_tpu.utils.checkpoints import save_checkpoint
+from apg_trajectory_tracking_tpu.utils.checkpoints import (
+    save_train_state,
+    restore_train_state,
+)
 from apg_trajectory_tracking_tpu.utils.logging import ResultsLogger
 
 
@@ -77,7 +80,7 @@ def build_wing_step(dyn_step, optimizer, dt_train, dt, horizon, mean, std):
 
 class TrainWing:
     def __init__(self, config=None, seed=0, save_name="test",
-                 modified_params=None):
+                 modified_params=None, base_model=None):
         self.config = cfg = dict(config or load_config("wing"))
         self.dt = cfg["delta_t"]
         self.dt_train = cfg.get("delta_t_train", self.dt)
@@ -105,6 +108,17 @@ class TrainWing:
 
         self.mean = jnp.asarray(WING_MEAN)
         self.std = jnp.asarray(WING_STD)
+
+        # resume / fine-tune (the reference's base_model path,
+        # train_fixed_wing.py:47-60)
+        if base_model is not None:
+            self.net, self.opt_state, base_cfg = restore_train_state(
+                base_model, "model_wing", self.net, self.opt_state
+            )
+            self.thresh_div = base_cfg.get("thresh_div", self.thresh_div)
+            self.thresh_stable = base_cfg.get(
+                "thresh_stable", self.thresh_stable
+            )
 
         # buffers: epoch_size sampled + self_play ring slots, seeded with
         # exploration flights (wing_env.py:112-162)
@@ -226,8 +240,8 @@ class TrainWing:
         return self
 
     def _save(self):
-        save_checkpoint(
-            self.save_path, "model_wing", self.net,
+        save_train_state(
+            self.save_path, "model_wing", self.net, self.opt_state,
             {
                 **self.config,
                 "thresh_div": self.thresh_div,

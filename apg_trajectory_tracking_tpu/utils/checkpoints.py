@@ -56,3 +56,31 @@ def load_checkpoint(save_dir, name, template):
 def load_config(save_dir):
     with open(os.path.join(save_dir, "config.json")) as f:
         return json.load(f)
+
+
+def save_train_state(save_dir, name, net, opt_state, config=None):
+    """Save net + optimizer state (+ config): the full resumable train
+    state (the reference resumes from ``base_model`` whole-module pickles,
+    train_drone.py:58-68; here optimizer momentum and curriculum scalars
+    survive the round trip too)."""
+    save_checkpoint(save_dir, name, net, config)
+    save_checkpoint(save_dir, f"{name}_opt", opt_state)
+
+
+def restore_train_state(save_dir, name, net_template, opt_template=None):
+    """Restore (net, opt_state, config) saved by :func:`save_train_state`.
+
+    Falls back gracefully: missing ``<name>_opt.npz`` returns the template
+    optimizer state (fresh momentum), so plain model checkpoints — including
+    reference-converted ones — also work as ``base_model``.
+    """
+    net = load_checkpoint(save_dir, name, net_template)
+    opt_state = opt_template
+    if opt_template is not None and os.path.exists(
+        os.path.join(save_dir, f"{name}_opt.npz")
+    ):
+        opt_state = load_checkpoint(save_dir, f"{name}_opt", opt_template)
+    cfg = {}
+    if os.path.exists(os.path.join(save_dir, "config.json")):
+        cfg = load_config(save_dir)
+    return net, opt_state, cfg

@@ -16,6 +16,8 @@ def main():
     parser.add_argument("--balance", action="store_true",
                         help="balance eval instead of swing-up")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--base_model", default=None,
+                        help="checkpoint dir to resume/fine-tune from")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny run: 3 epochs, 200 samples")
@@ -41,7 +43,7 @@ def main():
     config = load_config("cartpole", overrides)
     trainer = TrainCartpole(
         config, swingup=not args.balance, seed=args.seed,
-        save_name=args.save_name,
+        save_name=args.save_name, base_model=args.base_model,
     )
     trainer.fit(args.epochs)
 

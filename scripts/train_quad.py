@@ -22,6 +22,8 @@ def main():
     parser.add_argument("--smoke", action="store_true",
                         help="tiny run: 2 epochs, small dataset")
     parser.add_argument("--no-curriculum", action="store_true")
+    parser.add_argument("--base_model", default=None,
+                        help="checkpoint dir to resume/fine-tune from")
     args = parser.parse_args()
 
     if args.cpu:
@@ -45,6 +47,7 @@ def main():
     trainer = TrainQuad(
         config, train_mode=args.mode, seed=args.seed,
         save_name=args.save_name, curriculum=not args.no_curriculum,
+        base_model=args.base_model,
     )
     trainer.fit(args.epochs)
 

@@ -16,6 +16,8 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--smoke", action="store_true")
+    parser.add_argument("--base_model", default=None,
+                        help="checkpoint dir to resume/fine-tune from")
     args = parser.parse_args()
 
     if args.cpu:
@@ -36,7 +38,8 @@ def main():
     if args.smoke:
         overrides = {"self_play": 200, "nr_epochs": 2, "epoch_size": 64}
     config = load_config("wing", overrides)
-    trainer = TrainWing(config, seed=args.seed, save_name=args.save_name)
+    trainer = TrainWing(config, seed=args.seed, save_name=args.save_name,
+                        base_model=args.base_model)
     trainer.fit(args.epochs)
 
 
