@@ -235,3 +235,200 @@ class TrainCartpoleAdapt(TrainCartpole):
             float(jnp.mean(jnp.abs(adapted - target))),
             float(jnp.mean(jnp.abs(analytic - target))),
         )
+
+
+# ---------------------------------------------------------------------------
+# quad adaptation (train_drone.py:260-279)
+# ---------------------------------------------------------------------------
+
+from apg_trajectory_tracking_tpu.dynamics.quad import (  # noqa: E402
+    quad_step,
+)
+from apg_trajectory_tracking_tpu.dynamics.learnt import (  # noqa: E402
+    make_learnt_quad,
+)
+
+
+def quad_learnt_step(ld, states, actions, dt):
+    return _generic_learnt_step(quad_step, ld, states, actions, dt)
+
+
+class TrainQuadAdapt:
+    """Quad dynamics-adaptation experiment (train_drone.py:260-279):
+    starting from a pretrained controller, fit a residual dynamics model to
+    a mismatched environment (``modified_params``), then keep training the
+    controller against the adapted model; eval rollouts + self-play happen
+    in the learnt env (the reference's ``sample_in='train_env'``)."""
+
+    def __init__(
+        self,
+        config=None,
+        modified_params=None,
+        base_model=None,
+        train_base_params=False,
+        seed=0,
+        save_name="adapt_quad",
+        data_dir="data/traj_data",
+    ):
+        from apg_trajectory_tracking_tpu.training.train_quad import (
+            TrainQuad,
+            build_concurrent_step,
+        )
+        from apg_trajectory_tracking_tpu.data.dataset import (
+            quad_prepare_data,
+        )
+        from apg_trajectory_tracking_tpu.models import control_net_apply
+
+        modified_params = modified_params or {
+            "translational_drag": [0.3, 0.3, 0.3]
+        }
+        self.inner = inner = TrainQuad(
+            config, seed=seed, save_name=save_name, data_dir=data_dir,
+            eval_modified_params=modified_params, curriculum=False,
+            base_model=base_model,
+        )
+        cfg = inner.config
+
+        inner.key, k_ld = jax.random.split(inner.key)
+        self.ld, _ = make_learnt_quad(k_ld, std=1e-4)
+        self.dyn_optimizer = masked_sgd(
+            cfg["learning_rate_dynamics"], self.ld,
+            train_base=train_base_params,
+        )
+        self.dyn_opt_state = self.dyn_optimizer.init(self.ld)
+
+        fit_step = build_dynamics_fit_step(
+            quad_learnt_step, quad_step, self.dyn_optimizer, inner.dt,
+            l2_lambda=cfg.get("l2_lambda", 0.0),
+        )
+        horizon, action_dim = inner.horizon, inner.action_dim
+
+        def fit_epoch(ld, opt, evalp, net, states, refs, idx):
+            # actions from the current controller on the buffer rows
+            # (train_base.py:163-168)
+            in_s, _, in_r, _ = quad_prepare_data(states, refs)
+            logits = control_net_apply(net, in_s, in_r[:, :horizon])
+            acts = jax.nn.sigmoid(logits).reshape(
+                -1, horizon, action_dim
+            )[:, 0]
+
+            def body(carry, i):
+                ld_, opt_ = carry
+                ld_, opt_, loss = fit_step(
+                    ld_, opt_, evalp, states[i], acts[i]
+                )
+                return (ld_, opt_), loss
+
+            (ld, opt), losses = jax.lax.scan(body, (ld, opt), idx)
+            return ld, opt, jnp.mean(losses)
+
+        self._fit_epoch = jax.jit(fit_epoch)
+
+        ctrl_step = build_concurrent_step(
+            quad_learnt_step, inner.optimizer, inner.dt, horizon, action_dim
+        )
+        from apg_trajectory_tracking_tpu.training.common import epoch_scan
+
+        self._ctrl_epoch_learnt = jax.jit(
+            lambda p, o, ld, states, refs, idx: epoch_scan(
+                lambda p_, o_, s_, r_: ctrl_step(p_, o_, ld, s_, r_),
+                p, o, idx, states, refs,
+            )
+        )
+
+    def run_dynamics_epoch(self):
+        inner = self.inner
+        inner.key, k = jax.random.split(inner.key)
+        idx = shuffled_batches(
+            k, len(inner.buffers.states), inner.batch_size
+        )
+        self.ld, self.dyn_opt_state, loss = self._fit_epoch(
+            self.ld, self.dyn_opt_state, inner.eval_dyn, inner.net,
+            inner.buffers.states, inner.buffers.refs, idx,
+        )
+        loss = float(loss)
+        inner.logger.log("loss_dyn", loss)
+        return loss
+
+    def run_controller_epoch_learnt(self):
+        inner = self.inner
+        inner.key, k = jax.random.split(inner.key)
+        idx = shuffled_batches(
+            k, len(inner.buffers.states), inner.batch_size
+        )
+        inner.net, inner.opt_state, loss = self._ctrl_epoch_learnt(
+            inner.net, inner.opt_state, self.ld,
+            inner.buffers.states, inner.buffers.refs, idx,
+        )
+        loss = float(loss)
+        inner.logger.log("loss", loss)
+        return loss
+
+    def evaluate(self, epoch, nr_test=5):
+        """Rollouts in the LEARNT env (sample_in='train_env',
+        train_drone.py:40-49): self-play states come from the model the
+        controller trains against."""
+        from apg_trajectory_tracking_tpu.evaluation.quad_eval import run_eval
+
+        inner = self.inner
+        refs, ref_len = inner._eval_references(nr_test)
+        metrics, roll = run_eval(
+            inner.net, self.ld, refs, ref_len,
+            thresh_div=inner.thresh_div,
+            thresh_stable=inner.thresh_stable,
+            horizon=inner.horizon, dt=inner.dt,
+            dyn_step=quad_learnt_step,
+        )
+        inner._self_play_insert(roll)
+        inner.logger.log_dict(metrics)
+        return metrics
+
+    def evaluate_mismatched(self, nr_test=5):
+        """True-env check: rollouts in the mismatched dynamics."""
+        from apg_trajectory_tracking_tpu.evaluation.quad_eval import run_eval
+
+        inner = self.inner
+        refs, ref_len = inner._eval_references(nr_test)
+        metrics, _ = run_eval(
+            inner.net, inner.eval_dyn, refs, ref_len,
+            thresh_div=inner.thresh_div,
+            thresh_stable=inner.thresh_stable,
+            horizon=inner.horizon, dt=inner.dt,
+        )
+        return metrics
+
+    def run_dynamics(self, nr_epochs=10, train_dyn_for_epochs=2,
+                     train_dyn_every=1, verbose=True):
+        """Alternation schedule (train_base.py:334-375)."""
+        for epoch in range(nr_epochs):
+            res = self.evaluate(epoch)
+            if (
+                epoch <= train_dyn_for_epochs
+                and epoch % train_dyn_every == 0
+            ):
+                loss = self.run_dynamics_epoch()
+                what = "dynamics"
+            else:
+                loss = self.run_controller_epoch_learnt()
+                what = "controller"
+            if verbose:
+                print(
+                    f"Epoch {epoch} [{what}]: loss {loss:.3f} "
+                    f"div {res['mean_divergence']:.3f}"
+                )
+        self.inner.finalize()
+        return self
+
+    def dynamics_gap(self, n=256):
+        """(adapted error, analytic error) one-step vs the mismatched env."""
+        inner = self.inner
+        inner.key, k1, k2 = jax.random.split(inner.key, 3)
+        states = jax.random.normal(k1, (n, 12)) * 0.3
+        actions = jax.random.uniform(k2, (n, 4))
+        target = quad_step(inner.eval_dyn, states, actions, inner.dt)
+        adapted = quad_learnt_step(self.ld, states, actions, inner.dt)
+        analytic = quad_step(inner.train_dyn, states, actions, inner.dt)
+        return (
+            float(jnp.mean(jnp.abs(adapted - target))),
+            float(jnp.mean(jnp.abs(analytic - target))),
+        )

@@ -24,3 +24,17 @@ try:
     clear_backends()
 except Exception:  # pragma: no cover
     pass
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_bank(tmp_path_factory):
+    """Small generated trajectory bank shared across test modules."""
+    from apg_trajectory_tracking_tpu.trajectory.generate import (
+        generate_trajectory_bank,
+    )
+
+    d = tmp_path_factory.mktemp("bank")
+    generate_trajectory_bank(str(d), n_train=4, n_test=2)
+    return str(d)

@@ -65,3 +65,26 @@ def test_run_dynamics_alternation(tmp_path, monkeypatch):
     trainer.run_dynamics(nr_epochs=3, train_dyn_for_epochs=1, verbose=False)
     assert len(trainer.logger.results["loss_dyn"]) == 2  # epochs 0, 1
     assert len(trainer.logger.results["loss"]) >= 1  # controller epochs
+
+
+def test_quad_adapt_closes_dynamics_gap(tmp_path, monkeypatch, tiny_bank):
+    """Residual fitting shrinks the one-step gap to the mismatched quad env
+    and the alternation trains the controller against the adapted model
+    (train_drone.py:260-279)."""
+    monkeypatch.chdir(tmp_path)
+    import numpy as np
+    from apg_trajectory_tracking_tpu.training.adapt import TrainQuadAdapt
+    from apg_trajectory_tracking_tpu.training.common import load_config
+
+    cfg = load_config("quad", {"epoch_size": 32, "self_play": 0.5,
+                               "nr_epochs": 4})
+    trainer = TrainQuadAdapt(
+        cfg, modified_params={"translational_drag": [0.5, 0.5, 0.5]},
+        seed=0, data_dir=tiny_bank,
+    )
+    _, analytic_before = trainer.dynamics_gap()
+    trainer.run_dynamics(nr_epochs=4, train_dyn_for_epochs=2, verbose=False)
+    adapted_after, analytic_after = trainer.dynamics_gap()
+    assert adapted_after < analytic_after  # residual explains the mismatch
+    m = trainer.evaluate_mismatched(nr_test=2)
+    assert np.isfinite(m["mean_divergence"])

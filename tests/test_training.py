@@ -8,17 +8,6 @@ import jax.numpy as jnp
 from apg_trajectory_tracking_tpu.training.common import load_config
 
 
-@pytest.fixture(scope="module")
-def tiny_bank(tmp_path_factory):
-    from apg_trajectory_tracking_tpu.trajectory.generate import (
-        generate_trajectory_bank,
-    )
-
-    d = tmp_path_factory.mktemp("bank")
-    generate_trajectory_bank(str(d), n_train=4, n_test=2)
-    return str(d)
-
-
 def test_cartpole_training_smoke(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from apg_trajectory_tracking_tpu.training.train_cartpole import TrainCartpole
