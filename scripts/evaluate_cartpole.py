@@ -59,6 +59,42 @@ def main():
     )
     from apg_trajectory_tracking_tpu.evaluation.robustness import param_sweep
 
+    if args.model == "mpc":
+        # MPC baseline on the balance task (the reference's evaluators are
+        # controller-agnostic behind predict_actions, mpc.py:439-449)
+        import numpy as np
+        import jax.numpy as jnp
+        from apg_trajectory_tracking_tpu.controllers.mpc import MPC
+        from apg_trajectory_tracking_tpu.dynamics.cartpole import cartpole_step
+
+        dt, horizon = 0.05, 10
+        ctrl = MPC(horizon=horizon, dt=dt, dynamics="cartpole")
+        dyn = cartpole_params({})
+        rng = np.random.RandomState(42)
+        steps_stable, vels = [], []
+        for _ in range(args.eval):
+            ctrl.reset()
+            state = (rng.rand(4).astype(np.float32) - 0.5) * 0.2
+            ep_vels = []
+            for i in range(250):
+                u = ctrl.predict_actions(state)
+                state = np.asarray(
+                    cartpole_step(dyn, jnp.asarray(state[None]),
+                                  jnp.asarray(u[:1]), dt)
+                )[0]
+                ep_vels.append(abs(float(state[1])))
+                if abs(state[2]) > 0.21 or abs(state[0]) > 2.4:
+                    break
+            steps_stable.append(i + 1)
+            vels.append(np.mean(ep_vels))
+        print(json.dumps({
+            "mean_stable": float(np.mean(steps_stable)),
+            "std_stable": float(np.std(steps_stable)),
+            "mean_vel": float(np.mean(vels)),
+            "std_vel": float(np.std(vels)),
+        }))
+        return
+
     model_path = os.path.join("trained_models", "cartpole", args.model)
     net, cfg = load_cartpole_controller(model_path, args.epoch)
     dt, horizon = cfg["delta_t"], cfg["horizon"]

@@ -57,6 +57,52 @@ def main():
     from apg_trajectory_tracking_tpu.evaluation.robustness import param_sweep
     from apg_trajectory_tracking_tpu.data.dataset import WING_MEAN, WING_STD
 
+    if args.model == "mpc":
+        # MPC baseline: fly_to_point with the 6-DoF wing
+        # (evaluate_fixed_wing.py:216-245, mpc dynamics fixed_wing_3D)
+        import numpy as np
+        from apg_trajectory_tracking_tpu.dynamics.fixed_wing import wing_step
+        from apg_trajectory_tracking_tpu.controllers.mpc import MPC
+
+        dt, horizon = 0.05, 10
+        ctrl = MPC(horizon=horizon, dt=dt, dynamics="fixed_wing_3D")
+        dyn = wing_params({})
+        rng = np.random.RandomState(42)
+        errors = []
+        for _ in range(args.eval):
+            ctrl.reset()
+            target = np.array(
+                [50.0, (rng.rand() - 0.5) * 10, (rng.rand() - 0.5) * 10],
+                dtype=np.float32,
+            )
+            state = np.zeros(12, dtype=np.float32)
+            state[3] = 11.5  # level flight (wing_env.py:26-28)
+            for _ in range(1000):
+                u = ctrl.predict_actions(state, target)
+                prev = state[:3].copy()
+                state = np.asarray(
+                    wing_step(dyn, jnp.asarray(state[None]),
+                              jnp.asarray(u[:1]), dt)
+                )[0]
+                if state[0] > target[0]:
+                    # distance of the target to the passed trajectory
+                    seg = state[:3] - prev
+                    t = np.clip(
+                        np.dot(target - prev, seg) / (seg @ seg + 1e-9), 0, 1
+                    )
+                    errors.append(
+                        float(np.linalg.norm(prev + t * seg - target))
+                    )
+                    break
+        print("Average error (target): %.2f (%.2f)"
+              % (np.mean(errors), np.std(errors)))
+        print(json.dumps({
+            "mean_success": float(np.mean(errors)),
+            "std_success": float(np.std(errors)),
+            "n_completed": len(errors),
+        }))
+        return
+
     model_path = os.path.join("trained_models", "wing", args.model)
     net, cfg = load_wing_controller(model_path, args.epoch)
     dt, horizon = cfg["delta_t"], cfg["horizon"]
