@@ -178,6 +178,7 @@ class MPC:
         modified_params=None,
         n_iters=50,
         lr=0.1,
+        solver="adam",
         **_unused,
     ):
         if dynamics not in _STEPS:
@@ -189,9 +190,23 @@ class MPC:
         self.dyn_params = params_fn(modified_params or {})
         spec_key = "flightmare" if dynamics == "simple_quad" else dynamics
         self.spec = _SPECS[spec_key]
-        self._solve = _make_solver(
-            step_fn, self.spec, horizon, dt, n_iters, lr
-        )
+        if solver == "ilqr":
+            from apg_trajectory_tracking_tpu.controllers.ilqr import (
+                make_ilqr_solver,
+            )
+
+            # Gauss-Newton converges in far fewer iterations than
+            # first-order shooting
+            self._solve = make_ilqr_solver(
+                step_fn, self.spec, horizon, dt,
+                n_iters=min(n_iters, 10),
+            )
+        elif solver == "adam":
+            self._solve = _make_solver(
+                step_fn, self.spec, horizon, dt, n_iters, lr
+            )
+        else:
+            raise ValueError(f"unknown solver {solver}")
         self.u_dim = int(self.spec.u_default.shape[0])
         self.s_dim = int(self.spec.q_pen.shape[0])
         self.reset()

@@ -50,6 +50,9 @@ def main():
     parser.add_argument("--mpc_dynamics", default="flightmare",
                         choices=["flightmare", "simple_quad", "high_mpc"],
                         help="internal model for -m mpc (mpc.py:23)")
+    parser.add_argument("--solver", default="adam",
+                        choices=["adam", "ilqr"],
+                        help="OCP solver for -m mpc")
     args = parser.parse_args()
 
     if args.cpu:
@@ -89,7 +92,8 @@ def main():
 
         dt, horizon = 0.1, 10
         speed = args.speed or 0.4
-        mpc = MPC(horizon=horizon, dt=dt, dynamics=args.mpc_dynamics)
+        mpc = MPC(horizon=horizon, dt=dt, dynamics=args.mpc_dynamics,
+                  solver=args.solver)
         bank = load_trajectory_bank(
             ensure_trajectory_bank(args.data_dir), test=True
         )
