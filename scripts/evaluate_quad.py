@@ -12,21 +12,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def load_quad_controller(model_path, epoch=""):
+    """Load any quad controller checkpoint; the saved config's train_mode
+    decides the template (concurrent MLP / autoregressive MLP / LSTM)."""
     import jax
-    from apg_trajectory_tracking_tpu.models import init_control_net
+    from apg_trajectory_tracking_tpu.models import (
+        init_control_net,
+        init_lstm_net,
+    )
     from apg_trajectory_tracking_tpu.utils.checkpoints import (
         load_checkpoint,
         load_config,
     )
 
     cfg = load_config(model_path)
-    out_dim = cfg["action_dim"] * cfg["horizon"]
-    template = init_control_net(
+    mode = cfg.get("train_mode", "concurrent")
+    out_dim = (
+        cfg["action_dim"] * cfg["horizon"]
+        if mode == "concurrent"
+        else cfg["action_dim"]
+    )
+    init = init_lstm_net if mode == "LSTM" else init_control_net
+    template = init(
         jax.random.PRNGKey(0), 15, cfg["horizon"], cfg["ref_dim"], out_dim,
         conv=True,
     )
     net = load_checkpoint(model_path, "model_quad" + epoch, template)
     return net, cfg
+
+
+def eval_kwargs_for(cfg, nr_test):
+    """run_eval kwargs for the recurrent modes (window_len = 2*horizon,
+    LSTM carry; matches TrainQuad.evaluate)."""
+    from apg_trajectory_tracking_tpu.models import (
+        lstm_net_apply,
+        init_lstm_state,
+    )
+
+    mode = cfg.get("train_mode", "concurrent")
+    kwargs = {}
+    if mode == "LSTM":
+        kwargs["net_apply"] = lstm_net_apply
+        kwargs["net_carry"] = init_lstm_state(nr_test)
+    ref_length = cfg.get("ref_length", cfg["horizon"])
+    if ref_length != cfg["horizon"]:
+        kwargs["window_len"] = ref_length
+    return kwargs
 
 
 def main():
@@ -196,7 +226,7 @@ def main():
                 net, dyn, jnp.asarray(references),
                 references.shape[1] - horizon,
                 thresh_div=1.0, thresh_stable=1.0, horizon=horizon, dt=dt,
-                test_time=True,
+                test_time=True, **eval_kwargs_for(cfg, references.shape[0]),
             )
             return metrics
 
