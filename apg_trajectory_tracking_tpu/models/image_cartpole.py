@@ -210,3 +210,58 @@ def sequence_dynamics_apply(params, dyn_params, state, history, action, dt):
     h = jnp.tanh(sa @ params.w1)
     h = jnp.tanh(h @ params.w2)
     return new_state + h @ params.w3
+
+
+# ---------------------------------------------------------------------------
+# ImageControllerNetDQN (simple_model.py:92-132)
+# ---------------------------------------------------------------------------
+
+
+def _batchnorm(x, scale, bias, eps=1e-5):
+    """Batch-statistics normalization over (N, H, W) per channel — the
+    training-mode semantics of the reference's nn.BatchNorm2d (the DQN net
+    is only ever used in training mode in the reference)."""
+    mean = x.mean(axis=(0, 2, 3), keepdims=True)
+    var = x.var(axis=(0, 2, 3), keepdims=True)
+    xn = (x - mean) / jnp.sqrt(var + eps)
+    return xn * scale[None, :, None, None] + bias[None, :, None, None]
+
+
+def _conv_out(size, k=5, s=2):
+    return (size - (k - 1) - 1) // s + 1
+
+
+def init_image_dqn(key, img_h, img_w, out_size=1, nr_img=3):
+    """3x (conv k5 s2 + BN + relu) -> linear head (simple_model.py:92-124).
+    Channel widths 16/32/32."""
+    keys = jax.random.split(key, 4)
+    convw = _conv_out(_conv_out(_conv_out(img_w)))
+    convh = _conv_out(_conv_out(_conv_out(img_h)))
+    return {
+        "conv1": _conv2d_init(keys[0], nr_img, 16, 5),
+        "bn1": (jnp.ones(16), jnp.zeros(16)),
+        "conv2": _conv2d_init(keys[1], 16, 32, 5),
+        "bn2": (jnp.ones(32), jnp.zeros(32)),
+        "conv3": _conv2d_init(keys[2], 32, 32, 5),
+        "bn3": (jnp.ones(32), jnp.zeros(32)),
+        "head": linear_init(keys[3], convw * convh * 32, out_size),
+    }
+
+
+def _conv2d_strided(w, b, x, stride=2):
+    out = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out + b[None, :, None, None]
+
+
+def image_dqn_apply(params, images):
+    """(B, nr_img, H, W) -> (B, out) (simple_model.py:128-132)."""
+    x = images
+    for i in (1, 2, 3):
+        x = _conv2d_strided(*params[f"conv{i}"], x)
+        x = jax.nn.relu(_batchnorm(x, *params[f"bn{i}"]))
+    x = x.reshape(x.shape[0], -1)
+    w, b = params["head"]
+    return x @ w + b

@@ -103,3 +103,19 @@ def test_sequence_dynamics_near_analytic_at_init():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expected), atol=1e-4
     )
+
+
+def test_image_dqn_shapes_and_grad():
+    import jax, jax.numpy as jnp, numpy as np
+    from apg_trajectory_tracking_tpu.models.image_cartpole import (
+        init_image_dqn,
+        image_dqn_apply,
+    )
+
+    p = init_image_dqn(jax.random.PRNGKey(0), 100, 120, out_size=1, nr_img=3)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(4, 3, 100, 120),
+                       jnp.float32)
+    out = image_dqn_apply(p, imgs)
+    assert out.shape == (4, 1)
+    g = jax.grad(lambda pp: jnp.sum(image_dqn_apply(pp, imgs) ** 2))(p)
+    assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
