@@ -75,3 +75,17 @@ def make_sharded_eval(mesh, eval_fn, static_argnames=()):
         in_shardings=(rep, rep, shard),
         static_argnames=static_argnames,
     )
+
+
+def host_local_rng(seed):
+    """Deterministic per-host numpy RNG for host-sharded data sampling
+    (SURVEY.md 5.8): each host draws a disjoint stream so trajectory
+    resampling / self-play collection shard naturally across processes
+    while staying reproducible. On a single host this is just
+    ``RandomState(seed)``."""
+    return np.random.RandomState(seed + 7919 * jax.process_index())
+
+
+def host_local_fold(key):
+    """Same for jax PRNG keys: fold the process index into the key."""
+    return jax.random.fold_in(key, jax.process_index())

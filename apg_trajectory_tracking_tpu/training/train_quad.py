@@ -206,7 +206,11 @@ class TrainQuad:
         self.bank = load_trajectory_bank(ensure_trajectory_bank(data_dir))
         self.test_bank = load_trajectory_bank(data_dir, test=True)
 
-        self.rng = np.random.RandomState(seed)
+        # per-host RNG fold: on multi-host meshes each process samples a
+        # disjoint, deterministic data shard (parallel/mesh.py)
+        from apg_trajectory_tracking_tpu.parallel.mesh import host_local_rng
+
+        self.rng = host_local_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self.key, k_net = jax.random.split(self.key)
 
