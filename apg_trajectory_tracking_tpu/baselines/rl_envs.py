@@ -66,9 +66,20 @@ def make_cartpole_rl(dyn_params, dt=0.05, max_steps=250, image_obs=False):
         )
 
         obs_dim = (3, 100, 120)
+        x_threshold, half_w = 2.4, 60.0
 
         def _obs(s: CartpoleRLState):
-            return jax.vmap(render_cartpole_image)(s.state_buffer[:3])
+            # render each buffered frame displaced relative to the CURRENT
+            # cart position (the reference's roll-to-center, rl_envs.py:
+            # 65-77): frame i's cart sits at (x_i - x_now); velocity is
+            # encoded in the frame-to-frame displacement
+            x_now = s.state_buffer[0, 0]
+            offsets = (
+                (s.state_buffer[:3, 0] - x_now) / x_threshold * half_w
+            )
+            return jax.vmap(
+                lambda st, off: render_cartpole_image(st, x_offset_px=off)
+            )(s.state_buffer[:3], offsets)
 
     else:
         obs_dim = 15  # 3 x (state(4) + action(1)) history

@@ -68,8 +68,10 @@ def make_ilqr_solver(dyn_step, spec, horizon, dt, n_iters=10, reg=1e-3):
         z_init = jnp.clip(z_init, -_LOGIT_CLIP, _LOGIT_CLIP)
 
         def ilqr_iter(carry, _):
-            z_seq, best_cost = carry
-            xs, _ = rollout_cost(z_seq, dyn_params, x0, ref)
+            # the nominal trajectory xs is threaded through the carry (the
+            # accepted line-search rollout), avoiding one full re-rollout
+            # per iteration
+            z_seq, xs, best_cost = carry
             # states entering each step: x_k for k = 0..N-1
             xs_in = jnp.concatenate([x0[None], xs[:-1]], axis=0)
 
@@ -136,24 +138,28 @@ def make_ilqr_solver(dyn_step, spec, horizon, dt, n_iters=10, reg=1e-3):
                         -_LOGIT_CLIP, _LOGIT_CLIP,
                     )
                     x1 = f(x, z_new, dyn_params)
-                    return (x1, cost + step_cost(x1, z_new, ref_k, m_k)), z_new
+                    return (
+                        (x1, cost + step_cost(x1, z_new, ref_k, m_k)),
+                        (z_new, x1),
+                    )
 
-                (_, cost), z_new = jax.lax.scan(
+                (_, cost), (z_new, xs_new) = jax.lax.scan(
                     body, (x0, 0.0),
                     (z_seq, kffs, Ks, xs_in, ref, state_mask),
                 )
-                return cost, z_new
+                return cost, z_new, xs_new
 
-            costs, z_cands = jax.vmap(forward)(_ALPHAS)
+            costs, z_cands, xs_cands = jax.vmap(forward)(_ALPHAS)
             best = jnp.argmin(costs)
             improved = costs[best] < best_cost
             z_next = jnp.where(improved, z_cands[best], z_seq)
+            xs_next = jnp.where(improved, xs_cands[best], xs)
             cost_next = jnp.minimum(costs[best], best_cost)
-            return (z_next, cost_next), cost_next
+            return (z_next, xs_next, cost_next), cost_next
 
-        _, cost0 = rollout_cost(z_init, dyn_params, x0, ref)
-        (z, cost), _ = jax.lax.scan(
-            ilqr_iter, (z_init, cost0), None, length=n_iters
+        xs0, cost0 = rollout_cost(z_init, dyn_params, x0, ref)
+        (z, _, cost), _ = jax.lax.scan(
+            ilqr_iter, (z_init, xs0, cost0), None, length=n_iters
         )
         return squash(z), z, cost
 

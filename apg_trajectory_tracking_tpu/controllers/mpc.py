@@ -176,9 +176,10 @@ class MPC:
         dt=0.1,
         dynamics="flightmare",
         modified_params=None,
-        n_iters=50,
+        n_iters=None,
         lr=0.1,
         solver="adam",
+        q_pen=None,
         **_unused,
     ):
         if dynamics not in _STEPS:
@@ -190,20 +191,27 @@ class MPC:
         self.dyn_params = params_fn(modified_params or {})
         spec_key = "flightmare" if dynamics == "simple_quad" else dynamics
         self.spec = _SPECS[spec_key]
+        if q_pen is not None:
+            # custom tracking weights (e.g. re-purposing the high_mpc
+            # model, whose reference spec only weights the y/z channels)
+            self.spec = self.spec._replace(
+                q_pen=jnp.asarray(q_pen, jnp.float32)
+            )
         if solver == "ilqr":
             from apg_trajectory_tracking_tpu.controllers.ilqr import (
                 make_ilqr_solver,
             )
 
-            # Gauss-Newton converges in far fewer iterations than
-            # first-order shooting
+            # Gauss-Newton needs far fewer iterations than first-order
+            # shooting, hence the lower default
             self._solve = make_ilqr_solver(
                 step_fn, self.spec, horizon, dt,
-                n_iters=min(n_iters, 10),
+                n_iters=n_iters if n_iters is not None else 10,
             )
         elif solver == "adam":
             self._solve = _make_solver(
-                step_fn, self.spec, horizon, dt, n_iters, lr
+                step_fn, self.spec, horizon, dt,
+                n_iters if n_iters is not None else 50, lr,
             )
         else:
             raise ValueError(f"unknown solver {solver}")

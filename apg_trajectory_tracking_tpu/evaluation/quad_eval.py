@@ -135,6 +135,8 @@ def follow_analytic(
     horizon=10,
     max_steps=251,
     dt=0.1,
+    net_apply=_feedforward_apply,
+    net_carry=None,
 ):
     """Closed-loop rollout on an analytic reference (hover/straight/circle).
 
@@ -156,10 +158,10 @@ def follow_analytic(
         n = init_state.shape[0]
 
         def body(carry, i):
-            state, done = carry
+            state, done, nc = carry
             window = jax.vmap(ref_window_fn)(state)
             in_state, _, in_ref, _ = quad_prepare_data(state, window)
-            logits = control_net_apply(net_params, in_state, in_ref)
+            nc, logits = net_apply(net_params, nc, in_state, in_ref)
             actions = jax.nn.sigmoid(logits).reshape(n, -1, 4)
             new_state = dyn_step(dyn_params, state, actions[:, 0], dt)
             stable = quad_is_stable(new_state, thresh_stable)
@@ -169,9 +171,9 @@ def follow_analytic(
             step_valid = ~done
             new_done = jnp.logical_or(done, diverged)
             next_state = jnp.where(done[:, None], state, new_state)
-            return (next_state, new_done), (div, step_valid)
+            return (next_state, new_done, nc), (div, step_valid)
 
-        init = (init_state, jnp.zeros(n, dtype=bool))
+        init = (init_state, jnp.zeros(n, dtype=bool), net_carry)
         _, (divs, valid) = jax.lax.scan(body, init, jnp.arange(max_steps))
         return jnp.swapaxes(divs, 0, 1), jnp.swapaxes(valid, 0, 1)
 

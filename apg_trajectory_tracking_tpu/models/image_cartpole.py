@@ -25,9 +25,16 @@ IMG_H, IMG_W = 100, 120
 
 
 def render_cartpole_image(state, height=IMG_H, width=IMG_W,
-                          x_threshold=2.4, pole_len_px=40.0):
+                          x_threshold=2.4, pole_len_px=40.0,
+                          x_offset_px=0.0):
     """Binary image of the cartpole, centered at the cart's x position
     (the reference's center_at_x crop, evaluate_cartpole.py:63-77).
+
+    ``x_offset_px`` shifts the cart horizontally — used to encode relative
+    displacement across a frame stack (the reference rolls every buffered
+    frame by the *current* cart position, rl_envs.py:65-77, so older frames
+    show where the cart was relative to now; velocity is visible in frame
+    differences).
 
     Differentiable-ish soft raster (sigmoid edges) so it can also serve as a
     training target for StateToImg. Returns (height, width) in [0, 1].
@@ -35,7 +42,7 @@ def render_cartpole_image(state, height=IMG_H, width=IMG_W,
     theta = state[..., 2]
     ys = jnp.arange(height, dtype=jnp.float32)[:, None]
     xs = jnp.arange(width, dtype=jnp.float32)[None, :]
-    cx, cy = width / 2.0, height * 0.75  # cart pivot point
+    cx, cy = width / 2.0 + x_offset_px, height * 0.75  # cart pivot point
     sharp = 2.0
 
     # cart: rectangle around the pivot

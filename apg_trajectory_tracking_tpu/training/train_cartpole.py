@@ -81,7 +81,7 @@ class TrainCartpole:
     """Host-side orchestration; all compute is jitted device code."""
 
     def __init__(self, config=None, swingup=True, seed=0, save_name="test",
-                 base_model=None):
+                 base_model=None, tensorboard=False):
         self.config = config or load_config("cartpole")
         self.swingup = swingup
         cfg = self.config
@@ -127,7 +127,8 @@ class TrainCartpole:
         )
 
         self.save_path = os.path.join("trained_models", "cartpole", save_name)
-        self.logger = ResultsLogger(self.save_path)
+        self.logger = ResultsLogger(self.save_path,
+                                    tensorboard=tensorboard)
         self.best_score = np.inf  # suc_up_down = -1: lower mean_vel is better
 
     def run_epoch(self):

@@ -169,6 +169,7 @@ class TrainQuad:
         eval_modified_params=None,
         curriculum=True,
         base_model=None,
+        tensorboard=False,
     ):
         self.config = cfg = dict(config or load_config("quad"))
         if train_mode is not None:
@@ -277,7 +278,8 @@ class TrainQuad:
         )
 
         self.save_path = os.path.join("trained_models", "quad", save_name)
-        self.logger = ResultsLogger(self.save_path)
+        self.logger = ResultsLogger(self.save_path,
+                                    tensorboard=tensorboard)
         self.best_score = -np.inf  # suc_up_down = 1: higher is better
         self.successes = []
         self.first_epoch_with_this_vel = 0

@@ -80,7 +80,7 @@ def build_wing_step(dyn_step, optimizer, dt_train, dt, horizon, mean, std):
 
 class TrainWing:
     def __init__(self, config=None, seed=0, save_name="test",
-                 modified_params=None, base_model=None):
+                 modified_params=None, base_model=None, tensorboard=False):
         self.config = cfg = dict(config or load_config("wing"))
         self.dt = cfg["delta_t"]
         self.dt_train = cfg.get("delta_t_train", self.dt)
@@ -141,7 +141,8 @@ class TrainWing:
         )
 
         self.save_path = os.path.join("trained_models", "wing", save_name)
-        self.logger = ResultsLogger(self.save_path)
+        self.logger = ResultsLogger(self.save_path,
+                                    tensorboard=tensorboard)
         self.best_score = np.inf  # suc_up_down = -1
 
     def _self_play_insert(self, roll, targets):

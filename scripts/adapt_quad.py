@@ -18,7 +18,9 @@ def main():
                         help="pretrained controller dir to adapt")
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--dyn_epochs", type=int, default=5,
-                        help="epochs of dynamics fitting before controller")
+                        help="dynamics fitting through this epoch inclusive "
+                             "(reference train_base.py:343 semantics); "
+                             "controller training afterwards")
     parser.add_argument("--modified_params", default=None,
                         help='JSON dict of the mismatch, e.g. '
                              '\'{"translational_drag": [0.3,0.3,0.3]}\'')

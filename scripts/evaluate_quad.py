@@ -122,8 +122,15 @@ def main():
 
         dt, horizon = 0.1, 10
         speed = args.speed or 0.4
+        mpc_kwargs = {}
+        if args.mpc_dynamics == "high_mpc":
+            # the reference's high_mpc spec tracks only y/z (its pendulum
+            # task); weight all of pos+vel for bank-trajectory tracking
+            mpc_kwargs["q_pen"] = (
+                [100, 100, 100, 0, 0, 0, 0, 10, 10, 10]
+            )
         mpc = MPC(horizon=horizon, dt=dt, dynamics=args.mpc_dynamics,
-                  solver=args.solver)
+                  solver=args.solver, **mpc_kwargs)
         bank = load_trajectory_bank(
             ensure_trajectory_bank(args.data_dir), test=True
         )
@@ -145,11 +152,13 @@ def main():
                 actions = mpc.predict_actions(state, window)
                 if args.mpc_dynamics == "high_mpc":
                     # physical (thrust m/s^2, body rates rad/s) -> the
-                    # flightmare env's normalized action (quad.py:79-86)
+                    # flightmare env's normalized action; the env rescale
+                    # (quad.py:79-86) is linear and unclipped, so the
+                    # planned command executes exactly even outside [0,1]
                     actions = np.concatenate(
                         [
                             (actions[:, :1] - 9.81 + 7.5) / 15.0,
-                            np.clip(actions[:, 1:4] + 0.5, 0.0, 1.0),
+                            actions[:, 1:4] + 0.5,
                         ],
                         axis=1,
                     )
@@ -277,9 +286,19 @@ def main():
         )
         project_fn = lambda p: R.circle_project(c, p, (0, 1))
 
+    an_kwargs = {}
+    if cfg.get("train_mode") == "LSTM":
+        from apg_trajectory_tracking_tpu.models import (
+            lstm_net_apply,
+            init_lstm_state,
+        )
+
+        an_kwargs["net_apply"] = lstm_net_apply
+        an_kwargs["net_carry"] = init_lstm_state(n)
     roll = follow_analytic(
         net, dyn, window_fn, project_fn, init_state,
         thresh_div=1.0, thresh_stable=1.0, horizon=horizon, dt=dt,
+        **an_kwargs,
     )
     divs = np.asarray(roll["divergences"])
     valid = np.asarray(roll["valid"])

@@ -94,12 +94,18 @@ def main():
                         float(np.linalg.norm(prev + t * seg - target))
                     )
                     break
-        print("Average error (target): %.2f (%.2f)"
-              % (np.mean(errors), np.std(errors)))
+        if not errors:
+            print("no episode passed the target within 1000 steps")
+            print(json.dumps({"mean_success": None, "std_success": None,
+                              "n_completed": 0, "n_attempted": args.eval}))
+            return
+        print("Average error (target): %.2f (%.2f), %d/%d completed"
+              % (np.mean(errors), np.std(errors), len(errors), args.eval))
         print(json.dumps({
             "mean_success": float(np.mean(errors)),
             "std_success": float(np.std(errors)),
             "n_completed": len(errors),
+            "n_attempted": args.eval,
         }))
         return
 

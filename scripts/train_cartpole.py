@@ -18,6 +18,7 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--base_model", default=None,
                         help="checkpoint dir to resume/fine-tune from")
+    parser.add_argument("--tensorboard", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny run: 3 epochs, 200 samples")
@@ -44,6 +45,7 @@ def main():
     trainer = TrainCartpole(
         config, swingup=not args.balance, seed=args.seed,
         save_name=args.save_name, base_model=args.base_model,
+        tensorboard=args.tensorboard,
     )
     trainer.fit(args.epochs)
 

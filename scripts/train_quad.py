@@ -24,6 +24,8 @@ def main():
     parser.add_argument("--no-curriculum", action="store_true")
     parser.add_argument("--base_model", default=None,
                         help="checkpoint dir to resume/fine-tune from")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="also log scalars to TensorBoard")
     args = parser.parse_args()
 
     if args.cpu:
@@ -47,7 +49,7 @@ def main():
     trainer = TrainQuad(
         config, train_mode=args.mode, seed=args.seed,
         save_name=args.save_name, curriculum=not args.no_curriculum,
-        base_model=args.base_model,
+        base_model=args.base_model, tensorboard=args.tensorboard,
     )
     trainer.fit(args.epochs)
 

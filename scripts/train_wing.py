@@ -18,6 +18,7 @@ def main():
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--base_model", default=None,
                         help="checkpoint dir to resume/fine-tune from")
+    parser.add_argument("--tensorboard", action="store_true")
     args = parser.parse_args()
 
     if args.cpu:
@@ -39,7 +40,8 @@ def main():
         overrides = {"self_play": 200, "nr_epochs": 2, "epoch_size": 64}
     config = load_config("wing", overrides)
     trainer = TrainWing(config, seed=args.seed, save_name=args.save_name,
-                        base_model=args.base_model)
+                        base_model=args.base_model,
+                        tensorboard=args.tensorboard)
     trainer.fit(args.epochs)
 
 
