@@ -60,8 +60,16 @@ from apg_trajectory_tracking_tpu.utils.logging import ResultsLogger
 IN_STATE_SIZE = 15  # quad feature vector (dataset.py:185-190)
 
 
-def build_concurrent_step(dyn_step, optimizer, dt, horizon, action_dim=4):
-    """Concurrent-mode SGD step (train_drone.py:175-203)."""
+def build_concurrent_step(dyn_step, optimizer, dt, horizon, action_dim=4,
+                          remat=False):
+    """Concurrent-mode SGD step (train_drone.py:175-203).
+
+    ``remat=True`` rematerializes each dynamics step in the backward pass
+    (``jax.checkpoint``) instead of storing all intermediate states — the
+    long-horizon memory knob (SURVEY.md 5.7): BPTT memory drops from
+    O(horizon) to O(1) activations at the cost of recomputing the (cheap)
+    forward dynamics. Pointless at k=10; matters at k in the thousands.
+    """
 
     def loss_fn(net_params, dyn_params, states, refs):
         in_state, current_state, in_ref, rel_ref = quad_prepare_data(
@@ -74,12 +82,16 @@ def build_concurrent_step(dyn_step, optimizer, dt, horizon, action_dim=4):
             nxt = dyn_step(dyn_params, state, act, dt)
             return nxt, nxt
 
+        if remat:
+            body = jax.checkpoint(body)
+
         # full unroll: the 10-step body is tiny elementwise math, and
         # unrolling removes the scan's per-iteration overhead (+11%
-        # train-step throughput measured on v5e at 4096 envs)
+        # train-step throughput measured on v5e at 4096 envs); rematted
+        # long horizons keep the sequential scan
         _, inter = jax.lax.scan(
             body, current_state, jnp.swapaxes(action_seq, 0, 1),
-            unroll=True,
+            unroll=not remat,
         )
         inter = jnp.swapaxes(inter, 0, 1)
         return quad_mpc_loss(inter, rel_ref, action_seq)
