@@ -68,3 +68,26 @@ def test_ilqr_mpc_closed_loop(dynamics):
                               jnp.asarray(u[:1]), 0.05)
             )[0]
         assert abs(state[2]) < 0.1, state  # pole upright
+
+
+def test_batched_mpc_solvers_vmap():
+    """Both solvers vmap over environments (the reference's IPOPT cannot):
+    batched solve == per-env solve."""
+    import jax
+    from apg_trajectory_tracking_tpu.controllers.ilqr import make_ilqr_solver
+
+    spec = _SPECS["flightmare"]
+    dyn = quad_params()
+    solve = make_ilqr_solver(quad_step, spec, 10, 0.1, n_iters=4)
+    rng = np.random.RandomState(0)
+    B = 4
+    x0 = jnp.asarray(rng.randn(B, 12).astype(np.float32) * 0.2)
+    ref = jnp.zeros((B, 10, 12), jnp.float32)
+    z0 = jnp.zeros((B, 10, 4), jnp.float32)
+    batched = jax.jit(jax.vmap(solve, in_axes=(None, 0, 0, 0)))
+    u_b, _, c_b = batched(dyn, x0, ref, z0)
+    for i in range(B):
+        u_i, _, c_i = solve(dyn, x0[i], ref[i], z0[i])
+        np.testing.assert_allclose(
+            np.asarray(u_b[i]), np.asarray(u_i), atol=2e-5
+        )
