@@ -257,3 +257,47 @@ def train_ppo(
                     f"({m['timesteps']} steps)"
                 )
     return state["params"], history
+
+
+def evaluate_policy(
+    params, reset_fn, step_fn, key, n_episodes=20, max_steps=500,
+    act_low=-1.0, act_high=1.0,
+):
+    """Deterministic closed-loop eval of a trained policy: mean actions,
+    episodes latched at their first done (no auto-reset contamination).
+
+    Returns dict: mean/std return, mean episode length.
+    """
+    keys = jax.random.split(key, n_episodes)
+    env_states, obs = jax.vmap(reset_fn)(keys)
+
+    @jax.jit
+    def run(params, env_states, obs, keys):
+        def body(carry, t):
+            env_states, obs, done, rets, lens, ks = carry
+            act = jnp.clip(policy_mean(params, obs), act_low, act_high)
+            ks = jax.vmap(jax.random.fold_in)(ks, jnp.full(n_episodes, t))
+            nxt, obs2, rew, d = jax.vmap(step_fn)(env_states, act, ks)
+            alive = ~done
+            rets = rets + rew * alive
+            lens = lens + alive.astype(jnp.int32)
+            done = done | d
+            return (nxt, obs2, done, rets, lens, ks), None
+
+        init = (
+            env_states, obs, jnp.zeros(n_episodes, bool),
+            jnp.zeros(n_episodes), jnp.zeros(n_episodes, jnp.int32), keys,
+        )
+        (_, _, _, rets, lens, _), _ = jax.lax.scan(
+            body, init, jnp.arange(max_steps)
+        )
+        return rets, lens
+
+    rets, lens = run(params, env_states, obs, keys)
+    import numpy as np
+
+    return {
+        "mean_return": float(np.mean(np.asarray(rets))),
+        "std_return": float(np.std(np.asarray(rets))),
+        "mean_episode_len": float(np.mean(np.asarray(lens))),
+    }

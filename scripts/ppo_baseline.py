@@ -92,6 +92,17 @@ def main():
         json.dump(history, f)
     print("saved to", save_path)
 
+    # deterministic closed-loop eval (EvalCallback analog,
+    # ppo_baseline.py:62-84)
+    import jax
+    from apg_trajectory_tracking_tpu.baselines.ppo import evaluate_policy
+
+    metrics = evaluate_policy(
+        params, reset_fn, step_fn, jax.random.PRNGKey(123),
+        n_episodes=20, act_low=act_low, act_high=act_high,
+    )
+    print(json.dumps(metrics))
+
 
 if __name__ == "__main__":
     main()

@@ -67,3 +67,20 @@ def test_auto_reset():
     assert bool(done)
     assert abs(float(s.state[2])) < 0.3  # fresh upright state
     assert float(rew) == 0.0
+
+
+def test_evaluate_policy_runs():
+    import jax
+    from apg_trajectory_tracking_tpu.baselines.ppo import (
+        init_actor_critic,
+        evaluate_policy,
+    )
+    from apg_trajectory_tracking_tpu.baselines.rl_envs import make_cartpole_rl
+    from apg_trajectory_tracking_tpu.dynamics.cartpole import cartpole_params
+
+    reset, step, obs_dim, act_dim = make_cartpole_rl(cartpole_params())
+    params = init_actor_critic(jax.random.PRNGKey(0), obs_dim, act_dim)
+    m = evaluate_policy(params, reset, step, jax.random.PRNGKey(1),
+                        n_episodes=4, max_steps=50)
+    assert 0 < m["mean_episode_len"] <= 50
+    assert "mean_return" in m
