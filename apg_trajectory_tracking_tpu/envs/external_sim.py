@@ -1,0 +1,141 @@
+"""External-simulator adapter (the reference's Flightmare bridge role).
+
+Re-designs ``neural_control/flightmare.py:14-117``: the reference wraps the
+C++ ``flightgym.QuadrotorEnv_v1`` vec env so the torch evaluator can run
+against an external simulator — converting its observation layout to the
+12-dim state and rescaling the controller's [0,1] actions to physical
+commands. Here the same seam is a thin host-side adapter around ANY backend
+exposing the flightgym-style vec-env surface (``reset() -> obs``,
+``step(actions) -> (obs, rew, done, info)``); the compute path (controller
+inference) stays jitted, only the dynamics step crosses the host boundary,
+exactly as with the reference's bridge.
+
+The conversion math is the reference's:
+  * observation rows are [pos(3), euler zyx(3), vel(3), body rates(3)] —
+    attitude is flipped zyx -> xyz with the discontinuity fix
+    (``transform_borders``, flightmare.py:51-55);
+  * actions [0,1] -> (total thrust = a0*15 - 7.5 + 9.81, rates = a[1:] - .5)
+    (``action_to_fm``, flightmare.py:72-79).
+
+``MockFlightgymBackend`` stands in for the C++ sim (it integrates the same
+quad dynamics), so the adapter is fully testable in this repo; pointing it
+at a real ``flightgym`` binding requires no code changes.
+"""
+
+import numpy as np
+
+
+def transform_borders(x, switch_sign=False):
+    """Angle discontinuity fix (flightmare.py:51-55)."""
+    new = np.sign(x) * min(abs(x), 3.14 - abs(x))
+    if new != x and switch_sign:
+        new = -new
+    return new
+
+
+def obs_to_state(obs_row):
+    """Flightgym observation row -> 12-dim state (flightmare.py:57-70)."""
+    state = np.zeros(12, dtype=np.float32)
+    state[:3] = obs_row[:3]
+    state[6:9] = obs_row[6:9]
+    state[3] = transform_borders(obs_row[5], switch_sign=True)
+    state[4] = transform_borders(obs_row[4])
+    state[5] = transform_borders(obs_row[3])
+    state[9:] = obs_row[9:12]
+    return state
+
+
+def action_to_fm(action01):
+    """[0,1] controller action -> physical flightgym command
+    (flightmare.py:72-79)."""
+    act = np.asarray(action01, dtype=np.float32).copy()
+    act[0] = act[0] * 15.0 - 7.5 + 9.81
+    act[1:] = act[1:] - 0.5
+    return act[None].astype(np.float32)
+
+
+class ExternalSimAdapter:
+    """Closed-loop seam between our controllers and an external simulator.
+
+    Args:
+        backend: object with ``reset() -> (1, >=12) obs`` and
+            ``step((1, 4) physical actions) -> (obs, rew, done, info)`` —
+            the flightgym vec-env surface.
+        thresh_stable: |roll|, |pitch| bound for the stability predicate.
+    """
+
+    def __init__(self, backend, thresh_stable=0.8):
+        self.backend = backend
+        self.thresh_stable = thresh_stable
+        self.state = np.zeros(12, dtype=np.float32)
+
+    def reset(self):
+        obs = np.asarray(self.backend.reset())
+        self.state = obs_to_state(obs[0])
+        return self.state
+
+    def step(self, action01):
+        """Run one external-sim step from a [0,1] controller action.
+
+        Returns (state, stable) like the reference wrapper
+        (flightmare.py:101-117).
+        """
+        obs, _, _, _ = self.backend.step(action_to_fm(action01))
+        self.state = obs_to_state(np.asarray(obs)[0])
+        stable = bool(np.all(np.abs(self.state[3:5]) < self.thresh_stable))
+        return self.state, stable
+
+
+class MockFlightgymBackend:
+    """In-repo stand-in for the C++ flightgym sim: integrates our own quad
+    dynamics behind the flightgym observation/action conventions, so the
+    adapter (and anything built on it) is testable without the external
+    dependency. Observations are [pos, euler zyx, vel, rates]."""
+
+    def __init__(self, dt=0.1, init_state=None):
+        import jax.numpy as jnp  # deferred: adapter itself is numpy-only
+
+        from apg_trajectory_tracking_tpu.dynamics.quad import (
+            quad_params,
+            quad_step,
+        )
+
+        self._jnp = jnp
+        self._step = quad_step
+        self._params = quad_params()
+        self.dt = dt
+        self._state = (
+            np.zeros(12, dtype=np.float32)
+            if init_state is None
+            else np.asarray(init_state, dtype=np.float32)
+        )
+
+    def _obs(self):
+        s = self._state
+        obs = np.zeros((1, 12), dtype=np.float32)
+        obs[0, :3] = s[:3]
+        obs[0, 3] = s[5]  # yaw   (zyx order)
+        obs[0, 4] = s[4]  # pitch
+        obs[0, 5] = s[3]  # roll
+        obs[0, 6:9] = s[6:9]
+        obs[0, 9:12] = s[9:12]
+        return obs
+
+    def reset(self):
+        return self._obs()
+
+    def step(self, physical_actions):
+        # invert the adapter's action_to_fm: back to the normalized [0,1]
+        # convention our quad_step consumes (quad.py:79-86)
+        phys = np.asarray(physical_actions, dtype=np.float32)[0]
+        a01 = np.empty(4, dtype=np.float32)
+        a01[0] = (phys[0] - 9.81 + 7.5) / 15.0
+        a01[1:] = phys[1:] + 0.5
+        nxt = self._step(
+            self._params,
+            self._jnp.asarray(self._state[None]),
+            self._jnp.asarray(a01[None]),
+            self.dt,
+        )
+        self._state = np.asarray(nxt)[0]
+        return self._obs(), 0.0, False, {}
