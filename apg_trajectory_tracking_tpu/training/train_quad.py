@@ -292,7 +292,11 @@ class TrainQuad:
         self.save_path = os.path.join("trained_models", "quad", save_name)
         self.logger = ResultsLogger(self.save_path,
                                     tensorboard=tensorboard)
-        self.best_score = -np.inf  # suc_up_down = 1: higher is better
+        # best-model criterion (train_base.py:233-244): suc_up_down=1
+        # keeps the highest mean_success; -1 keeps the lowest
+        # mean_divergence (the reference's shipped quad model used -1)
+        self.suc_up_down = cfg.get("suc_up_down", 1)
+        self.best_score = -np.inf if self.suc_up_down == 1 else np.inf
         self.successes = []
         self.first_epoch_with_this_vel = 0
 
@@ -337,8 +341,18 @@ class TrainQuad:
         if epoch % 5 == 0 and self.thresh_div < self.config["thresh_div_end"]:
             self.thresh_div += 0.05
 
-        if epoch > 0 and metrics["mean_success"] > self.best_score:
-            self.best_score = metrics["mean_success"]
+        if self.suc_up_down == 1:
+            score, improved = (
+                metrics["mean_success"],
+                metrics["mean_success"] > self.best_score,
+            )
+        else:
+            score, improved = (
+                metrics["mean_divergence"],
+                metrics["mean_divergence"] < self.best_score,
+            )
+        if epoch > 0 and improved:
+            self.best_score = score
             # epoch-suffixed snapshot on improvement (train_base.py:233-244)
             self._save(epoch=epoch)
             self._save()
@@ -383,7 +397,7 @@ class TrainQuad:
             self.thresh_div = 0.1
             self.successes = []
             self.first_epoch_with_this_vel = epoch + 1
-            self.best_score = -np.inf
+            self.best_score = -np.inf if self.suc_up_down == 1 else np.inf
             print(f" ---- increase speed to {self.speed_factor} ---- ")
 
     def run_epoch(self):
