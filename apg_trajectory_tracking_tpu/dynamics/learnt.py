@@ -38,16 +38,33 @@ class ResidualParams(NamedTuple):
 def init_residual_params(
     key, state_size, action_size, out_state_size=None, std=1e-4, hidden=64
 ) -> ResidualParams:
-    """Near-zero init so f_hat starts equal to the analytic model."""
+    """f_hat starts equal to the analytic model: the OUTPUT layer is
+    near-zero (std), so delta ~ 0 at init.
+
+    Deliberate deviation from the reference (learnt_dynamics.py:77-82,
+    which draws BOTH layers at std=1e-4): with both layers near zero the
+    fit starts in a vanishing-gradient saddle (dL/dw1 is proportional to
+    w2 ~ 1e-4 and vice versa), making residual adaptation orders of
+    magnitude slower than intended. Standard fan-in init on the hidden
+    layer preserves the starts-at-analytic invariant while giving the
+    output layer O(1) input features to learn from.
+    """
     if out_state_size is None:
         out_state_size = state_size
     k1, k2, k3 = jax.random.split(key, 3)
     in_dim = state_size + action_size
-    init = lambda k, shape: std * jax.random.normal(k, shape, dtype=jnp.float32)
+    bound = 1.0 / jnp.sqrt(jnp.asarray(in_dim, jnp.float32))
     return ResidualParams(
-        w1=init(k1, (in_dim, hidden)),
-        b1=init(k2, (hidden,)),
-        w2=init(k3, (hidden, out_state_size)),
+        w1=jax.random.uniform(
+            k1, (in_dim, hidden), minval=-bound, maxval=bound,
+            dtype=jnp.float32,
+        ),
+        b1=jax.random.uniform(
+            k2, (hidden,), minval=-bound, maxval=bound, dtype=jnp.float32
+        ),
+        w2=std * jax.random.normal(
+            k3, (hidden, out_state_size), dtype=jnp.float32
+        ),
     )
 
 

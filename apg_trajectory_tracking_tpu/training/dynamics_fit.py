@@ -40,13 +40,27 @@ def _labels_like(ld: LearntDynamics, train_base: bool):
 
 
 def masked_sgd(lr, ld: LearntDynamics, train_base=False):
-    """SGD(momentum 0.9) on trainable leaves; frozen leaves get zero
-    updates (optax.masked would pass raw gradients through for the
-    complement, so multi_transform + set_to_zero is required)."""
+    """Masked optimizer for the dynamics fit: trainable leaves step,
+    frozen leaves get zero updates (optax.masked would pass raw gradients
+    through for the complement, so multi_transform + set_to_zero is
+    required).
+
+    Deliberate deviation from the reference (SGD momentum 0.9,
+    train_base.py:146-150): Adam with global-norm clipping. The fit problem
+    is badly scaled across systems (cartpole velocities ~20, quad states
+    ~0.3) and across layers of the residual; fixed-lr SGD either diverges
+    on one system or crawls on the other, while Adam's per-parameter
+    scaling fits both with the same defaults."""
     labels = _labels_like(ld, train_base)
-    return optax.multi_transform(
-        {"train": optax.sgd(lr, momentum=0.9), "freeze": optax.set_to_zero()},
-        labels,
+    return optax.chain(
+        optax.clip_by_global_norm(5.0),
+        optax.multi_transform(
+            {
+                "train": optax.adam(lr),
+                "freeze": optax.set_to_zero(),
+            },
+            labels,
+        ),
     )
 
 

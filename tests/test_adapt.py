@@ -14,14 +14,11 @@ def test_cartpole_adaptation_closes_gap(tmp_path, monkeypatch):
     from apg_trajectory_tracking_tpu.training.adapt import TrainCartpoleAdapt
 
     cfg = load_config(
-        "cartpole",
-        {"sample_data": 256, "learning_rate_dynamics": 0.01, "l2_lambda": 0},
+        "cartpole", {"sample_data": 256, "l2_lambda": 0}
     )
     trainer = TrainCartpoleAdapt(cfg, modified_params={"wind": 0.5}, seed=0)
 
     gap_before, analytic_gap = trainer.dynamics_gap()
-    # near-zero residual init needs a few thousand SGD steps to escape the
-    # saddle (same behavior as the reference's std=1e-4 init)
     for _ in range(80):
         trainer.run_dynamics_epoch()
     gap_after, _ = trainer.dynamics_gap()
@@ -85,6 +82,8 @@ def test_quad_adapt_closes_dynamics_gap(tmp_path, monkeypatch, tiny_bank):
     _, analytic_before = trainer.dynamics_gap()
     trainer.run_dynamics(nr_epochs=4, train_dyn_for_epochs=2, verbose=False)
     adapted_after, analytic_after = trainer.dynamics_gap()
-    assert adapted_after < analytic_after  # residual explains the mismatch
+    # the residual must explain a real fraction of the mismatch, not an
+    # epsilon (guards against the near-zero-init gradient saddle)
+    assert adapted_after < 0.95 * analytic_after
     m = trainer.evaluate_mismatched(nr_test=2)
     assert np.isfinite(m["mean_divergence"])
