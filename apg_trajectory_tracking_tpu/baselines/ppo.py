@@ -294,8 +294,6 @@ def evaluate_policy(
         return rets, lens
 
     rets, lens = run(params, env_states, obs, keys)
-    import numpy as np
-
     return {
         "mean_return": float(np.mean(np.asarray(rets))),
         "std_return": float(np.std(np.asarray(rets))),

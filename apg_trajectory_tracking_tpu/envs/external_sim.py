@@ -90,7 +90,15 @@ class MockFlightgymBackend:
     """In-repo stand-in for the C++ flightgym sim: integrates our own quad
     dynamics behind the flightgym observation/action conventions, so the
     adapter (and anything built on it) is testable without the external
-    dependency. Observations are [pos, euler zyx, vel, rates]."""
+    dependency. Observations are [pos, euler zyx, vel, rates].
+
+    Attitude-domain caveat (inherited from the reference convention): the
+    adapter's ``transform_borders`` folds angles toward zero beyond
+    |angle| > pi/2 (flightmare.py:51-55), so the adapter<->backend round
+    trip is exact only for |roll|, |pitch|, |yaw| < pi/2. Larger attitudes
+    are far past every stability threshold used in this framework
+    (<= 0.8 rad) and are reported unstable either way — same behavior the
+    reference exhibits against the real flightgym."""
 
     def __init__(self, dt=0.1, init_state=None):
         import jax.numpy as jnp  # deferred: adapter itself is numpy-only

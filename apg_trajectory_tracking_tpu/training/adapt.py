@@ -27,7 +27,7 @@ from apg_trajectory_tracking_tpu.training.common import (
 from apg_trajectory_tracking_tpu.training.dynamics_fit import (
     build_dynamics_fit_step,
     fit_dynamics_epoch,
-    masked_sgd,
+    masked_dynamics_optimizer,
 )
 from apg_trajectory_tracking_tpu.training.train_cartpole import (
     TrainCartpole,
@@ -66,7 +66,7 @@ class TrainCartpoleAdapt(TrainCartpole):
 
         self.key, k_ld = jax.random.split(self.key)
         self.ld, self.ld_step = make_learnt_cartpole(k_ld, std=1e-4)
-        self.dyn_optimizer = masked_sgd(
+        self.dyn_optimizer = masked_dynamics_optimizer(
             cfg["learning_rate_dynamics"], self.ld,
             train_base=train_base_params,
         )
@@ -291,7 +291,7 @@ class TrainQuadAdapt:
 
         inner.key, k_ld = jax.random.split(inner.key)
         self.ld, _ = make_learnt_quad(k_ld, std=1e-4)
-        self.dyn_optimizer = masked_sgd(
+        self.dyn_optimizer = masked_dynamics_optimizer(
             cfg["learning_rate_dynamics"], self.ld,
             train_base=train_base_params,
         )

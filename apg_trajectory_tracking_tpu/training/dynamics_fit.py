@@ -39,7 +39,7 @@ def _labels_like(ld: LearntDynamics, train_base: bool):
     )
 
 
-def masked_sgd(lr, ld: LearntDynamics, train_base=False):
+def masked_dynamics_optimizer(lr, ld: LearntDynamics, train_base=False):
     """Masked optimizer for the dynamics fit: trainable leaves step,
     frozen leaves get zero updates (optax.masked would pass raw gradients
     through for the complement, so multi_transform + set_to_zero is

@@ -292,9 +292,12 @@ class TrainQuad:
         self.save_path = os.path.join("trained_models", "quad", save_name)
         self.logger = ResultsLogger(self.save_path,
                                     tensorboard=tensorboard)
-        # best-model criterion (train_base.py:233-244): suc_up_down=1
-        # keeps the highest mean_success; -1 keeps the lowest
-        # mean_divergence (the reference's shipped quad model used -1)
+        # best-model criterion: suc_up_down=1 keeps the highest
+        # mean_success, -1 the lowest mean_divergence. Deliberate
+        # deviation: the reference records suc_up_down in its configs
+        # (its shipped quad model has -1) but train_base.py:233-244
+        # saves every epoch unconditionally; selecting on the recorded
+        # criterion is what the config plainly intends.
         self.suc_up_down = cfg.get("suc_up_down", 1)
         self.best_score = -np.inf if self.suc_up_down == 1 else np.inf
         self.successes = []

@@ -44,7 +44,7 @@ def _rand_quad_states(n):
 
 
 def test_quad_flightmare_matches_reference():
-    import torch
+    torch = __import__("pytest").importorskip("torch")
 
     ref = load_reference_dynamics()
     dyn = ref.quad.FlightmareDynamics()
@@ -60,7 +60,7 @@ def test_quad_flightmare_matches_reference():
 
 def test_quad_flightmare_golden_vector():
     """State/action from quad_dynamics_flightmare.py:325-336 __main__."""
-    import torch
+    torch = __import__("pytest").importorskip("torch")
 
     ref = load_reference_dynamics()
     state = np.array(
@@ -137,7 +137,7 @@ def test_quad_simple_float64_oracle():
 
 
 def test_cartpole_matches_reference():
-    import torch
+    torch = __import__("pytest").importorskip("torch")
 
     ref = load_reference_dynamics()
     dyn = ref.cartpole.CartpoleDynamics()
@@ -155,7 +155,7 @@ def test_cartpole_matches_reference():
 
 def test_cartpole_golden_vector():
     """State/action from cartpole_dynamics.py:281-291 __main__."""
-    import torch
+    torch = __import__("pytest").importorskip("torch")
 
     ref = load_reference_dynamics()
     state = np.array([[0.5, 1.3, 0.1, 0.4]], dtype=np.float32)
@@ -170,7 +170,7 @@ def test_cartpole_golden_vector():
 
 
 def test_wing_matches_reference():
-    import torch
+    torch = __import__("pytest").importorskip("torch")
 
     ref = load_reference_dynamics()
     dyn = ref.wing.FixedWingDynamics()
@@ -190,7 +190,7 @@ def test_wing_matches_reference():
 
 def test_wing_golden_vector():
     """State/action from fixed_wing_dynamics.py:497-512 __main__."""
-    import torch
+    torch = __import__("pytest").importorskip("torch")
 
     ref = load_reference_dynamics()
     state = np.array(

@@ -32,7 +32,7 @@ def _torch_hutter_net(state_dim, horizon, ref_dim, out_dim, conv):
 
 
 def test_control_net_matches_torch_conv():
-    import torch
+    torch = __import__("pytest").importorskip("torch")
 
     net = _torch_hutter_net(15, 10, 9, 40, conv=1)
     params = init_control_net(jax.random.PRNGKey(0), 15, 10, 9, 40, conv=True)
@@ -59,7 +59,7 @@ def test_control_net_matches_torch_conv():
 
 
 def test_control_net_matches_torch_dense():
-    import torch
+    torch = __import__("pytest").importorskip("torch")
 
     net = _torch_hutter_net(9, 1, 3, 40, conv=False)
     params = init_control_net(jax.random.PRNGKey(0), 9, 1, 3, 40, conv=False)
@@ -85,7 +85,7 @@ def test_control_net_matches_torch_dense():
 
 
 def test_cartpole_net_matches_torch():
-    import torch
+    torch = __import__("pytest").importorskip("torch")
 
     load_reference_dynamics()
     from neural_control.models.simple_model import Net
@@ -106,7 +106,7 @@ def test_cartpole_net_matches_torch():
 
 
 def test_lstm_matches_torch():
-    import torch
+    torch = __import__("pytest").importorskip("torch")
 
     load_reference_dynamics()
     from neural_control.models.rnn import LSTM_NEW
@@ -144,7 +144,7 @@ def test_lstm_matches_torch():
 
 
 def test_losses_match_reference():
-    import torch
+    torch = __import__("pytest").importorskip("torch")
 
     load_reference_dynamics()
     import neural_control.drone_loss as ref_loss
