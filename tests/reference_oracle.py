@@ -9,12 +9,13 @@ Tests that use this module skip automatically when the reference checkout is
 absent (e.g. on a user machine).
 """
 
+import os
 import sys
 import types
 
 import pytest
 
-REFERENCE_PATH = "/root/reference"
+REFERENCE_PATH = os.environ.get("APG_REFERENCE_PATH", "/root/reference")
 
 
 class _StubSX:
