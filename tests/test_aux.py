@@ -1,0 +1,105 @@
+"""Tests for auxiliary components: min-jerk planner boundary conditions,
+action averaging, robustness sweep structure, and plotting smoke."""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def test_min_jerk_boundary_conditions():
+    """The closed-form quintic must hit the goal (pos, vel) with zero
+    acceleration at t = Tf (plan_trajectory.py:90-99 constraints)."""
+    from apg_trajectory_tracking_tpu.trajectory.minjerk import (
+        min_jerk_reference,
+    )
+
+    rng = np.random.RandomState(0)
+    pos0 = jnp.asarray(rng.randn(3), jnp.float32)
+    vel0 = jnp.asarray(rng.randn(3), jnp.float32)
+    acc0 = jnp.asarray(rng.randn(3), jnp.float32)
+    posf = jnp.asarray(rng.randn(3), jnp.float32)
+    velf = jnp.asarray(rng.randn(3), jnp.float32)
+    ref = min_jerk_reference(pos0, vel0, acc0, posf, velf, 0.1, 10)
+    assert ref.shape == (10, 9)
+    np.testing.assert_allclose(np.asarray(ref[-1, :3]), np.asarray(posf),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref[-1, 3:6]), np.asarray(velf),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref[-1, 6:9]), 0.0, atol=1e-4)
+    # first row is one step ahead of the current state, not the state itself
+    assert not np.allclose(np.asarray(ref[0, :3]), np.asarray(pos0))
+
+
+def test_min_jerk_consistency():
+    """Velocity rows are the derivative of position rows (finite diff)."""
+    from apg_trajectory_tracking_tpu.trajectory.minjerk import (
+        min_jerk_reference,
+    )
+
+    pos0 = jnp.zeros(3)
+    vel0 = jnp.asarray([1.0, 0.0, 0.0])
+    acc0 = jnp.zeros(3)
+    ref = min_jerk_reference(pos0, vel0, acc0, jnp.asarray([2.0, 1.0, 0.5]),
+                             jnp.zeros(3), 0.05, 40)
+    pos = np.asarray(ref[:, :3])
+    vel = np.asarray(ref[:, 3:6])
+    fd = (pos[2:] - pos[:-2]) / (2 * 0.05)
+    np.testing.assert_allclose(fd, vel[1:-1], atol=2e-2)
+
+
+def test_action_averager_semantics():
+    """(last + new) / 2 rolling mean after a shift, first call passthrough
+    (average_action, evaluate_base.py:28-51)."""
+    from apg_trajectory_tracking_tpu.evaluation.robustness import (
+        ActionAverager,
+    )
+
+    avg = ActionAverager(horizon=3, action_dim=2)
+    a0 = np.arange(6).reshape(3, 2).astype(float)
+    out0 = avg(a0)
+    np.testing.assert_array_equal(out0, a0[0])
+
+    a1 = np.ones((3, 2))
+    out1 = avg(a1)
+    expected = (np.roll(a0, -1, axis=0) + a1) / 2.0
+    np.testing.assert_allclose(out1, expected[0])
+
+    # do_avg_act=False just takes the first action
+    avg2 = ActionAverager(horizon=3, action_dim=2)
+    np.testing.assert_array_equal(avg2(a0, do_avg_act=False), a0[0])
+
+
+def test_param_sweep_structure():
+    """Sweep multiplies each param by 1.0..1.9 and collects eval results
+    (evaluate_base.py:68-114)."""
+    from apg_trajectory_tracking_tpu.evaluation.robustness import param_sweep
+
+    calls = []
+
+    def fake_eval(modified):
+        calls.append(dict(modified))
+        return {"err": sum(modified.values()) if modified else 0.0}
+
+    out = param_sweep(fake_eval, {"mass": 2.0, "drag": 0.5}, factors=(1.0, 1.5))
+    assert set(out.keys()) == {"mass", "drag"}
+    assert set(out["mass"].keys()) == {1.0, 1.5}
+    assert out["mass"][1.5]["err"] == 3.0  # 2.0 * 1.5
+
+
+def test_plotting_smoke(tmp_path):
+    from apg_trajectory_tracking_tpu.utils.plotting import (
+        plot_loss,
+        plot_success,
+        plot_trajectory_3d,
+        animate_quad,
+    )
+
+    plot_loss([3.0, 2.0, 1.0], str(tmp_path / "loss.png"))
+    plot_success([0, 1, 2], [10, 20, 30], [1, 1, 1],
+                 str(tmp_path / "succ.png"))
+    rng = np.random.RandomState(0)
+    ref = rng.randn(50, 9)
+    drone = rng.randn(50, 12)
+    plot_trajectory_3d(ref, drone, str(tmp_path / "traj.png"))
+    animate_quad(ref, [drone], savefile=str(tmp_path / "anim.gif"))
+    for f in ("loss.png", "succ.png", "traj.png"):
+        assert (tmp_path / f).exists()
