@@ -68,7 +68,7 @@ def main():
     jax.block_until_ready(loss)
 
     dt = np.inf
-    for _ in range(5):
+    for _ in range(8):
         t0 = time.perf_counter()
         net, opt_state, loss = run_iters(net, opt_state, states, refs)
         jax.block_until_ready(loss)
