@@ -16,7 +16,7 @@ from apg_trajectory_tracking_tpu.envs.cartpole_env import (
 def test_pets_learns_cartpole_balance():
     agent = PETS(
         4, 1, cartpole_reward, -1.0, 1.0, horizon=10, seed=0,
-        population=150, n_elites=15, n_particles=5, n_iters=5,
+        population=100, n_elites=10, n_particles=3, n_iters=4,
     )
     dyn = cartpole_params()
     rng = np.random.RandomState(0)
@@ -34,12 +34,12 @@ def test_pets_learns_cartpole_balance():
             state = np.asarray(reset_upright(jax.random.PRNGKey(i), 1)[0])
 
     steps_per_trial = []
-    for trial in range(3):
+    for trial in range(2):
         agent.train_model(200)
         state = np.asarray(reset_upright(jax.random.PRNGKey(trial + 10), 1)[0])
         agent.reset_plan()
         steps = 0
-        for i in range(100):
+        for i in range(80):
             a = agent.act(state)
             s2 = np.asarray(
                 env_step(dyn, jnp.asarray(state), jnp.asarray(a), 0.05)
