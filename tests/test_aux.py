@@ -103,3 +103,39 @@ def test_plotting_smoke(tmp_path):
     animate_quad(ref, [drone], savefile=str(tmp_path / "anim.gif"))
     for f in ("loss.png", "succ.png", "traj.png"):
         assert (tmp_path / f).exists()
+
+
+def test_min_jerk_matches_reference_planner():
+    """Golden parity: our closed-form min-jerk reference equals the
+    reference's RapidTrajectory-based get_reference
+    (plan_trajectory.py:701-734) on random states."""
+    import os
+    import sys
+    import pytest
+
+    ref_path = os.environ.get("APG_REFERENCE_PATH", "/root/reference")
+    if not os.path.isdir(ref_path):
+        pytest.skip("reference checkout not available")
+    if ref_path not in sys.path:
+        sys.path.insert(0, ref_path)
+    from neural_control.trajectory.plan_trajectory import get_reference
+
+    from apg_trajectory_tracking_tpu.trajectory.minjerk import (
+        min_jerk_reference,
+    )
+
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        pos0, vel0, acc0 = rng.randn(3), rng.randn(3), rng.randn(3)
+        posf, velf = pos0 + rng.randn(3), rng.randn(3)
+        theirs = get_reference(
+            pos0, vel0, acc0, posf, velf, delta_t=0.1, ref_length=10
+        )
+        ours = np.asarray(
+            min_jerk_reference(
+                jnp.asarray(pos0, jnp.float32), jnp.asarray(vel0, jnp.float32),
+                jnp.asarray(acc0, jnp.float32), jnp.asarray(posf, jnp.float32),
+                jnp.asarray(velf, jnp.float32), 0.1, 10,
+            )
+        )
+        np.testing.assert_allclose(ours, theirs, atol=2e-3)
