@@ -61,7 +61,10 @@ def main():
     )
 
     n_total = len(jax.devices())
-    device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_total]
+    device_counts = sorted(
+        {d for d in (1, 2, 4, 8, 16, 32, 64, 128) if d <= n_total}
+        | {n_total}
+    )
     horizon = 10
 
     key = jax.random.PRNGKey(0)
@@ -73,9 +76,31 @@ def main():
 
     results = {}
     t1 = None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    iters = args.iters
+
+    # all timed iterations run inside ONE jitted lax.scan dispatch (same
+    # methodology as bench.py): per-step host dispatch would measure the
+    # tunnel round-trip, not the chips/ICI
+    def run_iters(p, o, dynp, s, r):
+        def body(c, _):
+            p_, o_ = c
+            p_, o_, l = step(p_, o_, dynp, s, r)
+            return (p_, o_), l
+
+        (p, o), ls = jax.lax.scan(body, (p, o), None, length=iters)
+        return p, o, ls[-1]
+
     for d in device_counts:
         mesh = make_mesh(d)
-        sharded = make_sharded_train_step(mesh, step)
+        rep = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P("env"))
+        sharded = jax.jit(
+            run_iters,
+            in_shardings=(rep, rep, rep, shard, shard),
+            out_shardings=(rep, rep, rep),
+        )
         batch = args.per_chip_batch * d
         rng = np.random.RandomState(0)
         states, refs = shard_batch(
@@ -96,11 +121,9 @@ def main():
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            n2, o2 = net_r, opt_r
-            for _ in range(args.iters):
-                n2, o2, loss = sharded(n2, o2, dyn_r, states, refs)
+            n2, o2, loss = sharded(net_r, opt_r, dyn_r, states, refs)
             jax.block_until_ready(loss)
-            best = min(best, (time.perf_counter() - t0) / args.iters)
+            best = min(best, (time.perf_counter() - t0) / iters)
         if t1 is None:
             t1 = best
         results[d] = {

@@ -73,10 +73,7 @@ def test_param_sweep_structure():
     (evaluate_base.py:68-114)."""
     from apg_trajectory_tracking_tpu.evaluation.robustness import param_sweep
 
-    calls = []
-
     def fake_eval(modified):
-        calls.append(dict(modified))
         return {"err": sum(modified.values()) if modified else 0.0}
 
     out = param_sweep(fake_eval, {"mass": 2.0, "drag": 0.5}, factors=(1.0, 1.5))
@@ -101,7 +98,7 @@ def test_plotting_smoke(tmp_path):
     drone = rng.randn(50, 12)
     plot_trajectory_3d(ref, drone, str(tmp_path / "traj.png"))
     animate_quad(ref, [drone], savefile=str(tmp_path / "anim.gif"))
-    for f in ("loss.png", "succ.png", "traj.png"):
+    for f in ("loss.png", "succ.png", "traj.png", "anim.gif"):
         assert (tmp_path / f).exists()
 
 
@@ -113,12 +110,16 @@ def test_min_jerk_matches_reference_planner():
     import sys
     import pytest
 
-    ref_path = os.environ.get("APG_REFERENCE_PATH", "/root/reference")
-    if not os.path.isdir(ref_path):
+    from tests.reference_oracle import REFERENCE_PATH
+
+    if not os.path.isdir(REFERENCE_PATH):
         pytest.skip("reference checkout not available")
-    if ref_path not in sys.path:
-        sys.path.insert(0, ref_path)
-    from neural_control.trajectory.plan_trajectory import get_reference
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    try:
+        from neural_control.trajectory.plan_trajectory import get_reference
+    except Exception as exc:  # partial/incompatible checkout
+        pytest.skip(f"reference planner not importable: {exc}")
 
     from apg_trajectory_tracking_tpu.trajectory.minjerk import (
         min_jerk_reference,
