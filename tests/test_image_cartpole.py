@@ -119,3 +119,25 @@ def test_image_dqn_shapes_and_grad():
     assert out.shape == (4, 1)
     g = jax.grad(lambda pp: jnp.sum(image_dqn_apply(pp, imgs) ** 2))(p)
     assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_image_dynamics_adaptation_end_to_end():
+    """The vision-conditioned residual fits a pole-length mismatch better
+    than the analytic model (the reference's train_image_dyn experiment,
+    train_cartpole.py:40-73)."""
+    import jax
+    from apg_trajectory_tracking_tpu.dynamics.cartpole import cartpole_params
+    from apg_trajectory_tracking_tpu.training.train_image_cartpole import (
+        fit_image_dynamics,
+        image_dynamics_gap,
+    )
+
+    mismatched = cartpole_params({"length": 0.8})  # pole 1.6x longer
+    net, history, _ = fit_image_dynamics(
+        jax.random.PRNGKey(0), mismatched, n_rollouts=16, t=12, epochs=12,
+    )
+    assert history[-1] < history[0] * 0.6, history
+    img_err, analytic_err = image_dynamics_gap(
+        net, mismatched, jax.random.PRNGKey(99)
+    )
+    assert img_err < 0.8 * analytic_err, (img_err, analytic_err)
