@@ -193,20 +193,29 @@ def image_dynamics_apply(params, dyn_params, state, images, action, dt):
 
 class SequenceResidual(NamedTuple):
     w1: jnp.ndarray
+    b1: jnp.ndarray
     w2: jnp.ndarray
-    w3: jnp.ndarray
 
 
 def init_sequence_dynamics(key, buffer_length=3, std=1e-4):
-    """tanh 3-layer no-bias residual over a (state+action) history of
-    ``buffer_length`` steps (learnt_dynamics.py:5-45)."""
+    """Residual over a (state+action) history of ``buffer_length`` steps
+    (SequenceCartpoleDynamics, cartpole_dynamics.py:143-158).
+
+    Deliberate deviation: the reference inherits LearntDynamicsMPC's
+    3-layer tanh NO-BIAS stack with every layer drawn at std=1e-4
+    (learnt_dynamics.py:28-45). Besides the vanishing-gradient saddle
+    (see dynamics/learnt.py), the bias-free tanh stack cannot express the
+    near-constant offsets that parameter mismatches (e.g. wind) produce
+    across diverse inputs. We use the same relu+bias residual family as
+    the state-residual (ResidualParams): hidden layer fan-in init + bias,
+    output layer near-zero — starts-at-analytic preserved."""
     in_dim = 5 * buffer_length + 1  # history (4+1 per step) + action
     k1, k2, k3 = jax.random.split(key, 3)
-    init = lambda k, shape: std * jax.random.normal(k, shape)
+    bound = 1.0 / jnp.sqrt(jnp.asarray(in_dim, jnp.float32))
     return SequenceResidual(
-        w1=init(k1, (in_dim, 64)),
-        w2=init(k2, (64, 64)),
-        w3=init(k3, (64, 4)),
+        w1=jax.random.uniform(k1, (in_dim, 64), minval=-bound, maxval=bound),
+        b1=jax.random.uniform(k2, (64,), minval=-bound, maxval=bound),
+        w2=std * jax.random.normal(k3, (64, 4)),
     )
 
 
@@ -214,9 +223,8 @@ def sequence_dynamics_apply(params, dyn_params, state, history, action, dt):
     """f_hat(s, history, a) (cartpole_dynamics.py:150-158)."""
     new_state = cartpole_step(dyn_params, state, action, dt)
     sa = jnp.concatenate([history, action], axis=-1)
-    h = jnp.tanh(sa @ params.w1)
-    h = jnp.tanh(h @ params.w2)
-    return new_state + h @ params.w3
+    h = jax.nn.relu(sa @ params.w1 + params.b1)
+    return new_state + h @ params.w2
 
 
 # ---------------------------------------------------------------------------

@@ -100,8 +100,10 @@ def test_sequence_dynamics_near_analytic_at_init():
     action = jnp.full((4, 1), -0.2)
     got = sequence_dynamics_apply(params, dyn, state, history, action, 0.05)
     expected = cartpole_step(dyn, state, action, 0.05)
+    # output layer is near-zero (std 1e-4); hidden activations are O(1),
+    # so the initial delta is bounded by ~std * hidden_width
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(expected), atol=1e-4
+        np.asarray(got), np.asarray(expected), atol=5e-3
     )
 
 
@@ -141,3 +143,25 @@ def test_image_dynamics_adaptation_end_to_end():
         net, mismatched, jax.random.PRNGKey(99)
     )
     assert img_err < 0.8 * analytic_err, (img_err, analytic_err)
+
+
+def test_sequence_dynamics_adaptation_end_to_end():
+    """The history-conditioned residual fits a wind mismatch far better
+    than the analytic model (train_seq_dyn, train_cartpole.py:40-73)."""
+    import jax
+    from apg_trajectory_tracking_tpu.dynamics.cartpole import cartpole_params
+    from apg_trajectory_tracking_tpu.training.train_sequence_cartpole import (
+        fit_sequence_dynamics,
+        sequence_dynamics_gap,
+    )
+
+    mismatched = cartpole_params({"wind": 0.5})
+    net, history = fit_sequence_dynamics(
+        jax.random.PRNGKey(0), mismatched, n_rollouts=64, t=16, epochs=60,
+    )
+    assert history[-1] < history[0] * 0.1, history
+    seq_err, analytic_err = sequence_dynamics_gap(
+        net, mismatched, jax.random.PRNGKey(99)
+    )
+    # the history-conditioned model explains the wind almost entirely
+    assert seq_err < 0.2 * analytic_err, (seq_err, analytic_err)
