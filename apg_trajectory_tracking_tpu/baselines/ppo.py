@@ -10,7 +10,6 @@ actor-critic, Adam 3e-4, gamma 0.99, GAE lambda 0.95, clip 0.2, 10 epochs,
 value coefficient 0.5, entropy coefficient 0.0, state-independent log-std.
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np

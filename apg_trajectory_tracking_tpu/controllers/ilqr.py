@@ -21,8 +21,6 @@ One call compiles to a single XLA program; ``vmap`` over the initial state
 gives batched MPC for thousands of parallel environments.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,6 @@ jitted program; warm starts shift the previous solution (mpc.py:336-338);
 ``F.map(N, 'openmp')`` parallelism (mpc.py:173) becomes XLA vectorization.
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np

@@ -9,7 +9,6 @@ convention).
 """
 
 import jax
-import jax.numpy as jnp
 
 from apg_trajectory_tracking_tpu.models.common import linear_init
 

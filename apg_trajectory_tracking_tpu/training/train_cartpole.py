@@ -10,7 +10,6 @@ epochs (evaluate_model, train_cartpole.py:194-199).
 """
 
 import os
-from functools import partial
 
 import numpy as np
 import jax

@@ -18,7 +18,6 @@ Re-designs ``scripts/train_drone.py`` + the shared loop of
 """
 
 import os
-from functools import partial
 
 import numpy as np
 import jax
@@ -54,7 +53,6 @@ from apg_trajectory_tracking_tpu.training.common import (
     shuffled_batches,
     epoch_scan,
 )
-from apg_trajectory_tracking_tpu.utils.checkpoints import save_checkpoint
 from apg_trajectory_tracking_tpu.utils.logging import ResultsLogger
 
 IN_STATE_SIZE = 15  # quad feature vector (dataset.py:185-190)
