@@ -40,6 +40,82 @@ class _StubSX:
     __rsub__ = __mul__
 
 
+def _install_gym_stub():
+    """Minimal gym stand-in so reference modules that subclass gym.Env
+    (drone_env.py:10-32, imported transitively by neural_control.dataset)
+    load without the real gym package."""
+    if "gym" in sys.modules:
+        return
+    gym = types.ModuleType("gym")
+
+    class _Env:
+        pass
+
+    gym.Env = _Env
+    spaces = types.ModuleType("gym.spaces")
+
+    class _Box:
+        def __init__(self, *a, **k):
+            pass
+
+    spaces.Box = _Box
+    utils = types.ModuleType("gym.utils")
+    seeding = types.ModuleType("gym.utils.seeding")
+
+    def np_random(seed=None):
+        import numpy as _np
+
+        return _np.random.RandomState(seed), seed
+
+    seeding.np_random = np_random
+    utils.seeding = seeding
+    gym.spaces = spaces
+    gym.utils = utils
+    sys.modules["gym"] = gym
+    sys.modules["gym.spaces"] = spaces
+    sys.modules["gym.utils"] = utils
+    sys.modules["gym.utils.seeding"] = seeding
+
+
+def _install_pyglet_stub():
+    """Permissive pyglet stand-in (rendering imports it at module load,
+    cartpole_rendering.py:11; nothing is called in headless tests)."""
+    if "pyglet" in sys.modules:
+        return
+
+    class _Anything(types.ModuleType):
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            value = _Anything(self.__name__ + "." + name)
+            setattr(self, name, value)
+            return value
+
+        def __call__(self, *a, **k):
+            return _Anything(self.__name__ + "()")
+
+    for name in ("pyglet", "pyglet.gl", "pyglet.graphics", "pyglet.window",
+                 "pyglet.canvas"):
+        mod = _Anything(name)
+        mod.__all__ = []  # star-imports resolve to nothing
+        sys.modules[name] = mod
+
+
+def _install_pyquaternion_stub():
+    """q_funcs imports pyquaternion at module load (q_funcs.py:2); the
+    rollout-parity path never calls it."""
+    if "pyquaternion" in sys.modules:
+        return
+    mod = types.ModuleType("pyquaternion")
+
+    class Quaternion:
+        def __init__(self, *a, **k):
+            pass
+
+    mod.Quaternion = Quaternion
+    sys.modules["pyquaternion"] = mod
+
+
 def _install_casadi_stub():
     if "casadi" in sys.modules:
         return
@@ -63,6 +139,9 @@ def load_reference_dynamics():
     if not os.path.isdir(REFERENCE_PATH):
         pytest.skip("reference checkout not available")
     _install_casadi_stub()
+    _install_gym_stub()
+    _install_pyglet_stub()
+    _install_pyquaternion_stub()
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
     try:
