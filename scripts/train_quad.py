@@ -26,6 +26,9 @@ def main():
                         help="checkpoint dir to resume/fine-tune from")
     parser.add_argument("--tensorboard", action="store_true",
                         help="also log scalars to TensorBoard")
+    parser.add_argument("--minjerk_mix", type=float, default=0.0,
+                        help="fraction of replay windows replaced by "
+                             "min-jerk windows (analytic-ref robustness)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -50,6 +53,7 @@ def main():
         config, train_mode=args.mode, seed=args.seed,
         save_name=args.save_name, curriculum=not args.no_curriculum,
         base_model=args.base_model, tensorboard=args.tensorboard,
+        minjerk_mix=args.minjerk_mix,
     )
     trainer.fit(args.epochs)
 

@@ -108,3 +108,24 @@ def test_checkpoint_roundtrip(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert load_ckpt_config(str(tmp_path))["horizon"] == 10
+
+
+def test_minjerk_mix_option(tmp_path, monkeypatch, tiny_bank):
+    """minjerk_mix replaces a fraction of replay windows with min-jerk
+    windows (position continuity from the state, same end point)."""
+    monkeypatch.chdir(tmp_path)
+    import numpy as np
+    import jax.numpy as jnp
+    from apg_trajectory_tracking_tpu.training.train_quad import TrainQuad
+
+    cfg = load_config("quad", {"epoch_size": 32, "self_play": 0,
+                               "nr_epochs": 1})
+    t0 = TrainQuad(cfg, seed=0, data_dir=tiny_bank, minjerk_mix=0.0)
+    t1 = TrainQuad(cfg, seed=0, data_dir=tiny_bank, minjerk_mix=0.5)
+    refs0 = np.asarray(t0.buffers.refs)
+    refs1 = np.asarray(t1.buffers.refs)
+    changed = np.any(refs0 != refs1, axis=(1, 2))
+    assert 8 <= changed.sum() <= 24  # ~half the rows replaced
+    # training still works
+    loss = t1.run_epoch()
+    assert np.isfinite(loss)
