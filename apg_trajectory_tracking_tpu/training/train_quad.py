@@ -288,6 +288,10 @@ class TrainQuad:
             )
         )
 
+        if not 0.0 <= float(minjerk_mix) <= 1.0:
+            raise ValueError(
+                f"minjerk_mix must be in [0, 1], got {minjerk_mix}"
+            )
         self.minjerk_mix = float(minjerk_mix)
         self._apply_minjerk_mix()
 
@@ -395,9 +399,21 @@ class TrainQuad:
         Beyond-reference robustness option: the analytic Hover/Straight/
         Circle references feed the net min-jerk windows at test time
         (trajectory/refs.py), a distribution the replay bank never covers;
-        mixing them into training fixes the shift (straight-line stable
+        mixing them into training fixes the dominant (position-window
+        shape) part of that shift — measured: straight-line stable
         tracking 31 -> 156 steps at ~6 points of replay stability; the
-        shipped assets/quad_minjerk_trained used minjerk_mix=0.5)."""
+        shipped assets/quad_minjerk_trained used minjerk_mix=0.5.
+
+        Scope note: at test time the analytic window rows are raw
+        [pos, vel, acc] (the reference's own layout quirk — its
+        get_ref_traj also returns acc where prepare_data reads vel,
+        plan_trajectory.py:701-734 vs dataset.py:191-204), while these
+        training windows keep the loss-consistent [pos, 0, vel] layout;
+        the residual vel-slot mismatch is inherited from the reference.
+
+        Only the sampled segment [0:num_sampled] is mixed: the self-play
+        ring is continuously overwritten by eval rollouts, so mixing it
+        would silently dilute between resamples."""
         if self.minjerk_mix <= 0:
             return
         from apg_trajectory_tracking_tpu.trajectory.minjerk import (
@@ -406,7 +422,7 @@ class TrainQuad:
 
         states = np.array(self.buffers.states)
         refs = np.array(self.buffers.refs)
-        n = len(states)
+        n = self.buffers.num_sampled
         idx = self.rng.choice(
             n, int(self.minjerk_mix * n), replace=False
         )
@@ -497,6 +513,7 @@ class TrainQuad:
                 "mean": np.asarray(self.buffers.mean).tolist(),
                 "std": np.asarray(self.buffers.std).tolist(),
                 "ref_length": self.ref_length,
+                "minjerk_mix": self.minjerk_mix,
             },
         )
 
