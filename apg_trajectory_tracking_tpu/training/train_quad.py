@@ -399,17 +399,18 @@ class TrainQuad:
         Beyond-reference robustness option: the analytic Hover/Straight/
         Circle references feed the net min-jerk windows at test time
         (trajectory/refs.py), a distribution the replay bank never covers;
-        mixing them into training fixes the dominant (position-window
-        shape) part of that shift — measured: straight-line stable
-        tracking 31 -> 156 steps at ~6 points of replay stability; the
-        shipped assets/quad_minjerk_trained used minjerk_mix=0.5.
+        mixing them into training fixes the (position-window shape)
+        part of that shift — measured: straight-line err 0.036 -> 0.008
+        at ~6 points of replay stability; the shipped
+        assets/quad_minjerk_trained used minjerk_mix=0.5.
 
-        Scope note: at test time the analytic window rows are raw
-        [pos, vel, acc] (the reference's own layout quirk — its
-        get_ref_traj also returns acc where prepare_data reads vel,
-        plan_trajectory.py:701-734 vs dataset.py:191-204), while these
-        training windows keep the loss-consistent [pos, 0, vel] layout;
-        the residual vel-slot mismatch is inherited from the reference.
+        Layout note: both these training windows and the test-time
+        analytic windows use the loss-consistent [pos, 0, vel] row
+        layout (trajectory/refs.py _to_state_rows remaps the raw
+        min-jerk [pos, vel, acc] rows; the reference's own
+        get_ref_traj feeds acc where prepare_data reads vel,
+        plan_trajectory.py:701-734 vs dataset.py:191-204 — an upstream
+        bug deliberately not reproduced).
 
         Only the sampled segment [0:num_sampled] is mixed: the self-play
         ring is continuously overwritten by eval rollouts, so mixing it

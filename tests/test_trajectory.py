@@ -186,3 +186,46 @@ def test_polynomial_reference():
     # spacing ~ dist_points between consecutive interior points
     seg = np.linalg.norm(np.diff(ref[60:-60, :3], axis=0), axis=1)
     assert np.median(seg) == pytest.approx(0.025, rel=0.2)
+
+
+def test_analytic_windows_use_state_row_layout():
+    """Regression: hover/straight/circle windows must emit state-layout rows
+    [pos, att(=0), vel] — NOT the planner's raw [pos, vel, acc] rows.
+
+    The controller featurizer reads columns 6:9 as velocity; the reference
+    feeds it acceleration there (plan_trajectory.py:701-734 vs
+    dataset.py:191-204), an upstream bug deliberately not reproduced —
+    fixing it took flagship straight-line tracking from 0.29 err / 31
+    stable steps to 0.036 err / full 251 steps with no retraining."""
+    state = jnp.asarray(
+        np.array([0.5, -0.2, 2.0, 0, 0, 0, 0.3, 0.1, -0.05, 0, 0, 0],
+                 dtype=np.float32)
+    )
+    dt, horizon = 0.1, 10
+
+    hover = np.asarray(
+        refs.hover_ref_window(jnp.array([1.0, 1.0, 2.0]), state, dt, horizon)
+    )
+    s = refs.straight_init(jnp.zeros(3), jnp.array([1.0, 0.0, 0.0]))
+    straight = np.asarray(
+        refs.straight_ref_window(s, state, dt, horizon, 0.5)
+    )
+    c = refs.circle_init(
+        state[:3], state[6:9], radius=2.0, direction=1.0, plane=(0, 1)
+    )
+    circle = np.asarray(
+        refs.circle_ref_window(c, state, dt, horizon, 0.5, (0, 1))
+    )
+
+    for window in (hover, straight, circle):
+        assert window.shape == (horizon, 9)
+        # attitude slots are zero
+        np.testing.assert_allclose(window[:, 3:6], 0.0)
+        # velocity slots are consistent with the position rows
+        # (finite difference of a quintic ~ its analytic derivative)
+        # (an acceleration profile would not match the position rows'
+        # finite difference; rows start at t=dt so no t=0 boundary check)
+        fd_vel = np.gradient(window[:, :3], dt, axis=0)
+        np.testing.assert_allclose(
+            window[1:-1, 6:9], fd_vel[1:-1], atol=0.35
+        )
