@@ -33,6 +33,10 @@ from apg_trajectory_tracking_tpu.models.image_cartpole import (
     image_dynamics_apply,
     render_cartpole_image,
 )
+from apg_trajectory_tracking_tpu.training.common import (
+    epoch_scan,
+    shuffled_batches,
+)
 
 NR_IMG = 5
 IMG_H, IMG_W = 50, 60  # half-res renders keep the conv residual cheap
@@ -100,24 +104,18 @@ def fit_image_dynamics(
         pred = image_dynamics_apply(net, analytic, s, imgs, a, dt)
         return jnp.mean((pred - s_next) ** 2)
 
+    def step_fn(net, opt_state, s, imgs, a, s_next):
+        loss, g = jax.value_and_grad(loss_fn)(net, s, imgs, a, s_next)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(net, updates), opt_state, loss
+
     @jax.jit
     def epoch(net, opt_state, key):
-        idx = jax.random.permutation(key, states.shape[0])
-        n_batches = states.shape[0] // batch_size
-        idx = idx[: n_batches * batch_size].reshape(n_batches, batch_size)
-
-        def body(carry, bi):
-            net, opt_state = carry
-            loss, g = jax.value_and_grad(loss_fn)(
-                net, states[bi], stacks[bi], actions[bi], next_states[bi]
-            )
-            updates, opt_state = opt.update(g, opt_state)
-            return (optax.apply_updates(net, updates), opt_state), loss
-
-        (net, opt_state), losses = jax.lax.scan(
-            body, (net, opt_state), idx
+        idx = shuffled_batches(key, states.shape[0], batch_size)
+        return epoch_scan(
+            step_fn, net, opt_state, idx, states, stacks, actions,
+            next_states,
         )
-        return net, opt_state, jnp.mean(losses)
 
     history = []
     for _ in range(epochs):
@@ -127,11 +125,12 @@ def fit_image_dynamics(
     return net, history, data
 
 
-def image_dynamics_gap(net, mismatched_params, key, dt=0.05, n=256):
+def image_dynamics_gap(net, mismatched_params, key, dt=0.05, n_rollouts=16,
+                       t=16):
     """(image-model error, analytic error) one-step vs the mismatched env
-    on held-out rollouts."""
+    on ``n_rollouts * t`` held-out samples."""
     states, stacks, actions, next_states = collect_image_rollouts(
-        key, mismatched_params, n=16, t=16, dt=dt
+        key, mismatched_params, n=n_rollouts, t=t, dt=dt
     )
     analytic = cartpole_params()
     pred = image_dynamics_apply(net, analytic, states, stacks, actions, dt)

@@ -420,27 +420,27 @@ class TrainQuad:
         from apg_trajectory_tracking_tpu.trajectory.minjerk import (
             min_jerk_reference,
         )
+        from apg_trajectory_tracking_tpu.trajectory.refs import (
+            _to_state_rows,
+        )
 
-        states = np.array(self.buffers.states)
-        refs = np.array(self.buffers.refs)
         n = self.buffers.num_sampled
         idx = self.rng.choice(
             n, int(self.minjerk_mix * n), replace=False
         )
+        states = self.buffers.states[idx]
+        old_win = self.buffers.refs[idx]
         win = jax.vmap(
-            lambda p, v, gp, gv: min_jerk_reference(
+            lambda p, v, gp, gv: _to_state_rows(min_jerk_reference(
                 p, v, jnp.zeros(3), gp, gv, self.dt, self.ref_length
-            )
+            ))
         )(
-            jnp.asarray(states[idx, :3]), jnp.asarray(states[idx, 6:9]),
-            jnp.asarray(refs[idx, -1, :3]), jnp.asarray(refs[idx, -1, 6:9]),
+            states[:, :3], states[:, 6:9],
+            old_win[:, -1, :3], old_win[:, -1, 6:9],
         )
-        w = np.asarray(win)
-        new_win = np.zeros((len(idx), self.ref_length, 9), dtype=np.float32)
-        new_win[:, :, :3] = w[:, :, :3]  # min-jerk rows are [pos, vel, acc]
-        new_win[:, :, 6:9] = w[:, :, 3:6]
-        refs[idx] = new_win
-        self.buffers = self.buffers._replace(refs=jnp.asarray(refs))
+        self.buffers = self.buffers._replace(
+            refs=self.buffers.refs.at[jnp.asarray(idx)].set(win)
+        )
 
     def _speed_curriculum(self, epoch):
         """Speed curriculum (train_base.py:289-332)."""

@@ -21,6 +21,10 @@ from apg_trajectory_tracking_tpu.models.image_cartpole import (
     init_sequence_dynamics,
     sequence_dynamics_apply,
 )
+from apg_trajectory_tracking_tpu.training.common import (
+    epoch_scan,
+    shuffled_batches,
+)
 
 BUF = 3  # history length (rl_envs.py:21 buffer_len)
 
@@ -70,22 +74,18 @@ def fit_sequence_dynamics(
         pred = sequence_dynamics_apply(net, analytic, s, h, a, dt)
         return jnp.mean((pred - s_next) ** 2)
 
+    def step_fn(net, opt_state, s, h, a, s_next):
+        loss, g = jax.value_and_grad(loss_fn)(net, s, h, a, s_next)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(net, updates), opt_state, loss
+
     @jax.jit
     def epoch(net, opt_state, key):
-        idx = jax.random.permutation(key, states.shape[0])
-        nb = states.shape[0] // batch_size
-        idx = idx[: nb * batch_size].reshape(nb, batch_size)
-
-        def body(carry, bi):
-            net, opt_state = carry
-            loss, g = jax.value_and_grad(loss_fn)(
-                net, states[bi], hists[bi], actions[bi], next_states[bi]
-            )
-            updates, opt_state = opt.update(g, opt_state)
-            return (optax.apply_updates(net, updates), opt_state), loss
-
-        (net, opt_state), losses = jax.lax.scan(body, (net, opt_state), idx)
-        return net, opt_state, jnp.mean(losses)
+        idx = shuffled_batches(key, states.shape[0], batch_size)
+        return epoch_scan(
+            step_fn, net, opt_state, idx, states, hists, actions,
+            next_states,
+        )
 
     history = []
     for _ in range(epochs):
@@ -95,10 +95,12 @@ def fit_sequence_dynamics(
     return net, history
 
 
-def sequence_dynamics_gap(net, mismatched_params, key, dt=0.05):
-    """(sequence-model error, analytic error) one-step on held-out data."""
+def sequence_dynamics_gap(net, mismatched_params, key, dt=0.05,
+                          n_rollouts=16, t=16):
+    """(sequence-model error, analytic error) one-step on
+    ``n_rollouts * t`` held-out samples."""
     states, hists, actions, next_states = collect_history_rollouts(
-        key, mismatched_params, n=16, t=16, dt=dt
+        key, mismatched_params, n=n_rollouts, t=t, dt=dt
     )
     analytic = cartpole_params()
     pred = sequence_dynamics_apply(net, analytic, states, hists, actions, dt)

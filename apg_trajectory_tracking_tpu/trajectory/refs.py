@@ -100,7 +100,7 @@ def _to_state_rows(minjerk_rows):
     (plan_trajectory.py:701-734 vs dataset.py:191-204) — so its analytic
     hover/straight/circle evals give the controller acceleration where it
     was trained to see velocity. Fixing the layout takes the flagship's
-    straight-line tracking from 0.29 err / 31 stable steps to 0.035 err /
+    straight-line tracking from 0.29 err / 31 stable steps to 0.036 err /
     full 251 steps with no retraining.
     """
     return jnp.concatenate(
