@@ -58,6 +58,16 @@ def load_config(save_dir):
         return json.load(f)
 
 
+def resolve_model_dir(model, system):
+    """Resolve an eval-CLI ``-m`` argument: a filesystem path to a
+    checkpoint directory (contains config.json) is used as-is; anything
+    else is treated as a run name under trained_models/<system>/ (the
+    reference's convention, evaluate_base.py:11-21)."""
+    if os.path.isfile(os.path.join(model, "config.json")):
+        return model
+    return os.path.join("trained_models", system, model)
+
+
 def save_train_state(save_dir, name, net, opt_state, config=None):
     """Save net + optimizer state (+ config): the full resumable train
     state (the reference resumes from ``base_model`` whole-module pickles,

@@ -9,6 +9,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from apg_trajectory_tracking_tpu.utils.checkpoints import resolve_model_dir  # noqa: E402
+
 
 def load_cartpole_controller(model_path, epoch=""):
     import jax
@@ -95,7 +97,7 @@ def main():
         }))
         return
 
-    model_path = os.path.join("trained_models", "cartpole", args.model)
+    model_path = resolve_model_dir(args.model, "cartpole")
     net, cfg = load_cartpole_controller(model_path, args.epoch)
     dt, horizon = cfg["delta_t"], cfg["horizon"]
 

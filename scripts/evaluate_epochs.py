@@ -10,6 +10,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from apg_trajectory_tracking_tpu.utils.checkpoints import resolve_model_dir  # noqa: E402
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -41,7 +43,7 @@ def main():
         prepare_trajectory,
     )
 
-    model_path = os.path.join("trained_models", "quad", args.model)
+    model_path = resolve_model_dir(args.model, "quad")
     epochs = sorted(
         int(m.group(1))
         for f in os.listdir(model_path)

@@ -10,6 +10,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from apg_trajectory_tracking_tpu.utils.checkpoints import resolve_model_dir  # noqa: E402
+
 
 def load_quad_controller(model_path, epoch=""):
     """Load any quad controller checkpoint; the saved config's train_mode
@@ -178,7 +180,7 @@ def main():
         )
         return
 
-    model_path = os.path.join("trained_models", "quad", args.model)
+    model_path = resolve_model_dir(args.model, "quad")
     net, cfg = load_quad_controller(model_path, args.epoch)
     speed = args.speed or cfg.get("speed_factor", 0.4)
     dt, horizon = cfg["dt"] if "dt" in cfg else cfg["delta_t"], cfg["horizon"]

@@ -9,6 +9,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from apg_trajectory_tracking_tpu.utils.checkpoints import resolve_model_dir  # noqa: E402
+
 
 def load_wing_controller(model_path, epoch=""):
     import jax
@@ -109,7 +111,7 @@ def main():
         }))
         return
 
-    model_path = os.path.join("trained_models", "wing", args.model)
+    model_path = resolve_model_dir(args.model, "wing")
     net, cfg = load_wing_controller(model_path, args.epoch)
     dt, horizon = cfg["delta_t"], cfg["horizon"]
     mean = jnp.asarray(cfg.get("mean", WING_MEAN))
