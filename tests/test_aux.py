@@ -1,6 +1,7 @@
 """Tests for auxiliary components: min-jerk planner boundary conditions,
 action averaging, robustness sweep structure, and plotting smoke."""
 
+import os
 import numpy as np
 import jax.numpy as jnp
 
@@ -140,3 +141,19 @@ def test_min_jerk_matches_reference_planner():
             )
         )
         np.testing.assert_allclose(ours, theirs, atol=2e-3)
+
+
+def test_resolve_model_dir(tmp_path):
+    """Eval CLIs accept either a run name (resolved under
+    trained_models/<system>/) or a checkpoint directory path."""
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        resolve_model_dir,
+    )
+
+    ckpt = tmp_path / "my_run"
+    ckpt.mkdir()
+    (ckpt / "config.json").write_text("{}")
+    assert resolve_model_dir(str(ckpt), "quad") == str(ckpt)
+    assert resolve_model_dir("shipped", "quad") == os.path.join(
+        "trained_models", "quad", "shipped"
+    )
