@@ -142,9 +142,16 @@ def make_quad_rl(
     horizon=10,
     thresh_div=0.3,
     thresh_stable=1.5,
+    reward="mario",
 ):
     """``prepared_bank``: (N, T, 9) trajectories already subsampled to the
-    control rate (prepare_trajectory)."""
+    control rate (prepare_trajectory).
+
+    ``reward``: 'mario' (the reference's default, rl_envs.py:257-308,334)
+    or 'mpc' (the MPC-cost-shaped alternative, rl_envs.py:227-255).
+    ``horizon=1`` gives the QuadEnvMario variant (rl_envs.py:446-459) —
+    single-row reference observation; the reference declares obs_dim=27
+    there but its own reshape yields 15+9=24, which is what we use."""
     n_traj, T, _ = prepared_bank.shape
     obs_dim = 15 + horizon * 9
     act_dim = 4
@@ -184,6 +191,24 @@ def make_quad_rl(
             + act_reward
         )
 
+    def _reward_mpc(s: QuadRLState, action01):
+        """MPC-cost-shaped reward (get_reward_mpc, rl_envs.py:227-255):
+        same weights as quad_mpc_loss (pos 10, vel 1, thrust-reg 5,
+        rate-reg 0.1, omega 0.1), turned into margins below thresholds."""
+        ref_row = prepared_bank[s.traj_idx, s.current_ind]
+        pos_rew = thresh_div - jnp.linalg.norm(ref_row[:3] - s.state[:3])
+        vel_rew = thresh_div - jnp.linalg.norm(ref_row[6:9] - s.state[6:9])
+        u_rew = 0.5 - jnp.abs(0.5 - action01)
+        av_rew = jnp.sum(thresh_stable - jnp.abs(s.state[9:12]))
+        return 0.1 * (
+            10.0 * pos_rew + 1.0 * vel_rew + 0.1 * av_rew
+            + 0.1 * jnp.sum(u_rew[1:]) + 5.0 * u_rew[0]
+        )
+
+    if reward not in ("mario", "mpc"):
+        raise ValueError(f"reward must be 'mario' or 'mpc', got {reward!r}")
+    reward_fn = _reward_mario if reward == "mario" else _reward_mpc
+
     def step(s: QuadRLState, action, key):
         action01 = (action + 1.0) / 2.0  # rl_envs.py:313
         new_state = quad_step(dyn_params, s.state, action01, dt)
@@ -200,7 +225,7 @@ def make_quad_rl(
             | (pos_div > thresh_div)
             | (nxt.current_ind > T - horizon - 2)
         )
-        reward = jnp.where(done, 0.0, _reward_mario(nxt, action01))
+        reward = jnp.where(done, 0.0, reward_fn(nxt, action01))
         fresh, _ = reset(key)
         nxt = jax.tree_util.tree_map(
             lambda a, b: jnp.where(done, a, b), fresh, nxt
@@ -208,6 +233,15 @@ def make_quad_rl(
         return nxt, _obs(nxt), reward, done
 
     return reset, step, obs_dim, act_dim
+
+
+def make_quad_rl_mario(dyn_params, prepared_bank, dt=0.1,
+                       speed_factor=None, **kwargs):
+    """The QuadEnvMario variant (rl_envs.py:446-459): horizon-1 reference
+    observation (obs = 15 state features + one 9-dim ref row); reward and
+    thresholds as in :func:`make_quad_rl`."""
+    return make_quad_rl(dyn_params, prepared_bank, dt=dt, horizon=1,
+                        **kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -116,7 +116,13 @@ def wing_prepare_data(states, ref_pos, mean, std, dt=0.05, horizon=10):
     """
     normed = ((states - mean) / std)[:, 3:]
     rel = ref_pos - states[:, :3]
-    direction = rel / jnp.linalg.norm(rel, axis=1, keepdims=True)
+    # epsilon guard (deviation from dataset.py:313, which divides by the
+    # raw norm): a drone exactly on the waypoint would emit NaNs inside
+    # the jitted step and poison the whole batch; away from the
+    # singularity the guard cannot change behavior
+    direction = rel / jnp.maximum(
+        jnp.linalg.norm(rel, axis=1, keepdims=True), 1e-6
+    )
     steps = jnp.arange(1, horizon + 1, dtype=states.dtype) * (12.0 * dt)
     target_pos = states[:, None, :3] + direction[:, None, :] * steps[None, :, None]
     rel_ref = target_pos[:, -1] - states[:, :3]

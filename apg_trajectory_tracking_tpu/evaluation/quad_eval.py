@@ -196,13 +196,34 @@ def run_eval(
     net_apply=_feedforward_apply,
     net_carry=None,
     window_len=None,
+    mesh=None,
 ):
     """Aggregate eval metrics (run_eval, evaluate_drone.py:237-300).
 
     Returns the reference's 6-tuple as a dict:
     mean/std of stable step counts, mean/std divergence of full runs,
     mean/std divergence overall — plus the rollout dict for self-play.
+
+    With ``mesh`` the episode batch is sharded on the 'env' axis (padded by
+    repeating episodes when nr_test doesn't divide the mesh; the pad rows
+    are sliced off before metrics, so the protocol is unchanged) — the
+    trainers pass their mesh so closed-loop eval runs on the same
+    data-parallel path as training.
     """
+    n_req = references.shape[0]
+    if mesh is not None and mesh.shape["env"] > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from apg_trajectory_tracking_tpu.parallel.mesh import pad_to_multiple
+
+        nd = mesh.shape["env"]
+        references, _ = pad_to_multiple(jnp.asarray(references), nd)
+        references = jax.device_put(references, NamedSharding(mesh, P("env")))
+        if net_carry is not None:
+            net_carry, _ = pad_to_multiple(net_carry, nd)
+            net_carry = jax.device_put(
+                net_carry, NamedSharding(mesh, P("env"))
+            )
     roll = follow_trajectories(
         net_params, dyn_params, references, ref_len,
         thresh_div=thresh_div, thresh_stable=thresh_stable,
@@ -210,6 +231,8 @@ def run_eval(
         test_time=test_time, net_apply=net_apply, net_carry=net_carry,
         window_len=window_len,
     )
+    if roll["divergences"].shape[0] != n_req:
+        roll = {k: v[:n_req] for k, v in roll.items()}
     divs = np.asarray(roll["divergences"])
     valid = np.asarray(roll["valid"])
 

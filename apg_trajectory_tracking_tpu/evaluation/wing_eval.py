@@ -158,19 +158,33 @@ def run_eval(
     dt=0.05,
     test_time=False,
     dyn_step=wing_step,
+    mesh=None,
 ):
     """Aggregate metrics (run_eval, evaluate_fixed_wing.py:132-178):
-    mean/std over episodes of the mean target divergence."""
+    mean/std over episodes of the mean target divergence.
+
+    With ``mesh`` the episode batch is sharded on 'env' (padded by repeated
+    episodes when needed, sliced off before metrics)."""
     yz = (jax.random.uniform(key, (nr_test, 2)) - 0.5) * 2 * x_std
     targets = jnp.concatenate(
         [jnp.full((nr_test, 1), x_dist), yz], axis=1
     ).astype(jnp.float32)
+    if mesh is not None and mesh.shape["env"] > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from apg_trajectory_tracking_tpu.parallel.mesh import pad_to_multiple
+
+        targets, _ = pad_to_multiple(targets, mesh.shape["env"])
+        targets = jax.device_put(targets, NamedSharding(mesh, P("env")))
     roll = fly_to_point(
         net_params, dyn_params, targets, mean, std,
         thresh_div=thresh_div, thresh_stable=thresh_stable,
         dyn_step=dyn_step, horizon=horizon, max_steps=max_steps, dt=dt,
         test_time=test_time,
     )
+    if roll["div_target_sum"].shape[0] != nr_test:
+        roll = {k: v[:nr_test] for k, v in roll.items()}
+        targets = targets[:nr_test]
     per_ep = np.asarray(roll["div_target_sum"]) / np.asarray(
         roll["div_target_cnt"]
     )

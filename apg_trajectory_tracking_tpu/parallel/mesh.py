@@ -18,8 +18,27 @@ across slices).
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Join a multi-host run: ``jax.distributed.initialize`` before any mesh
+    is built (SURVEY.md 5.8). On TPU pods the arguments are auto-detected
+    from the environment; on CPU/GPU clusters pass them explicitly. The
+    train CLIs call this under ``--distributed``; afterwards
+    ``jax.devices()`` spans all hosts and the same mesh/sharding code runs
+    unchanged (ICI within a slice, DCN across slices)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(n_devices=None, model_parallel=1):
@@ -31,6 +50,19 @@ def make_mesh(n_devices=None, model_parallel=1):
         n_devices // model_parallel, model_parallel
     )
     return Mesh(devs, axis_names=("env", "model"))
+
+
+def auto_mesh(*axis_sizes):
+    """The trainers' default mesh: the largest local device count that
+    divides every given batch/buffer size (so minibatches and data buffers
+    shard evenly on 'env'), degenerating to a size-1 mesh when nothing
+    divides. On one chip this is the zero-cost identity mesh; under
+    ``init_distributed`` it spans all hosts' devices."""
+    n = len(jax.devices())
+    d = n
+    while d > 1 and any(int(s) % d != 0 for s in axis_sizes):
+        d -= 1
+    return make_mesh(d)
 
 
 def shard_batch(mesh, tree):
@@ -75,6 +107,84 @@ def make_sharded_eval(mesh, eval_fn, static_argnames=()):
         in_shardings=(rep, rep, shard),
         static_argnames=static_argnames,
     )
+
+
+def make_sharded_epoch(mesh, step_fn, n_data=2, dyn_arg=True):
+    """The trainers' production epoch runner: one jitted ``lax.scan`` over
+    shuffled minibatches with DP shardings (params/opt-state/dynamics
+    replicated, data buffers and every minibatch sharded on 'env', psum
+    gradient reduction inserted by XLA).
+
+    This is the whole-epoch equivalent of :func:`make_sharded_train_step`
+    and replaces the reference's per-batch DataLoader loop
+    (train_base.py:188-218); on a size-1 mesh it degenerates to the plain
+    single-device epoch scan, so it is the default execution path for every
+    trainer regardless of device count.
+
+    Args:
+        step_fn: ``(params, opt_state, [dyn,] *batch) -> (params, opt_state,
+            loss)``.
+        n_data: number of data buffers indexed per minibatch.
+        dyn_arg: whether ``step_fn`` takes a (replicated) dynamics pytree.
+    Returns:
+        jitted ``(params, opt_state, [dyn,] *data, idx) -> (params,
+        opt_state, mean_loss)`` with ``idx`` of shape (n_batches, B).
+    """
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("env"))
+
+    def epoch(params, opt_state, *rest):
+        if dyn_arg:
+            dyn, *rest = rest
+        *data, idx = rest
+
+        def body(carry, b):
+            p, o = carry
+            # the gather from the 'env'-sharded buffers is tiny; the
+            # constraint pins the minibatch back onto 'env' so the BPTT
+            # unroll and the backward pass run data-parallel
+            batch = tuple(
+                jax.lax.with_sharding_constraint(arr[b], shard)
+                for arr in data
+            )
+            if dyn_arg:
+                p, o, loss = step_fn(p, o, dyn, *batch)
+            else:
+                p, o, loss = step_fn(p, o, *batch)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), idx
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    in_sh = (
+        (rep, rep)
+        + ((rep,) if dyn_arg else ())
+        + (shard,) * n_data
+        + (rep,)
+    )
+    return jax.jit(epoch, in_shardings=in_sh, out_shardings=(rep, rep, rep))
+
+
+def pad_to_multiple(tree, multiple, axis=0):
+    """Pad every array's ``axis`` up to a multiple of ``multiple`` by
+    repeating rows from the start, returning (padded_tree, original_n).
+    Used to shard eval batches whose episode count (e.g. nr_test=10) does
+    not divide the mesh; the padded episodes are sliced off before metrics
+    so the protocol is unchanged."""
+    def pad(x):
+        n = x.shape[axis]
+        extra = (-n) % multiple
+        if extra == 0:
+            return x
+        reps = -(-extra // n)  # ceil, in case extra > n
+        tiled = jnp.concatenate([x] * (reps + 1), axis=axis)
+        return jax.lax.slice_in_dim(tiled, 0, n + extra, axis=axis)
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    n = leaves[0].shape[axis] if leaves else 0
+    return jax.tree_util.tree_map(pad, tree), n
 
 
 def host_local_rng(seed):

@@ -29,8 +29,13 @@ from apg_trajectory_tracking_tpu.models import (
     init_cartpole_net,
     cartpole_net_apply,
 )
+from apg_trajectory_tracking_tpu.parallel.mesh import (
+    auto_mesh,
+    make_sharded_epoch,
+    replicate,
+    shard_batch,
+)
 from apg_trajectory_tracking_tpu.training.common import (
-    epoch_scan,
     load_config,
     sgd_momentum,
     shuffled_batches,
@@ -80,7 +85,7 @@ class TrainCartpole:
     """Host-side orchestration; all compute is jitted device code."""
 
     def __init__(self, config=None, swingup=True, seed=0, save_name="test",
-                 base_model=None, tensorboard=False):
+                 base_model=None, tensorboard=False, mesh=None):
         self.config = config or load_config("cartpole")
         self.swingup = swingup
         cfg = self.config
@@ -105,10 +110,12 @@ class TrainCartpole:
         if base_model is not None:
             from apg_trajectory_tracking_tpu.utils.checkpoints import (
                 restore_train_state,
+                resume_name,
             )
 
             self.net, self.opt_state, base_cfg = restore_train_state(
-                base_model, "model_cartpole", self.net, self.opt_state
+                base_model, resume_name(base_model, "model_cartpole"),
+                self.net, self.opt_state,
             )
             self.thresh_div = base_cfg.get("thresh_div", self.thresh_div)
 
@@ -117,12 +124,23 @@ class TrainCartpole:
             self.train_dyn,
         )
 
+        # data-parallel mesh as the default execution path (see
+        # train_quad.py); size-1 degenerate on one chip. The 10-episode
+        # 4-dim-state evaluators stay replicated — there is no parallel
+        # work in them worth a collective.
+        self.mesh = mesh if mesh is not None else auto_mesh(
+            self.batch_size, len(self.data)
+        )
+        self.net = replicate(self.mesh, self.net)
+        self.opt_state = replicate(self.mesh, self.opt_state)
+        self.data = shard_batch(self.mesh, self.data)
+
         self._step = build_train_step(
             cartpole_step, self.train_dyn, self.optimizer, self.dt,
             self.horizon,
         )
-        self._train_epoch = jax.jit(
-            lambda p, o, data, idx: epoch_scan(self._step, p, o, idx, data)
+        self._train_epoch = make_sharded_epoch(
+            self.mesh, self._step, n_data=1, dyn_arg=False
         )
 
         self.save_path = os.path.join("trained_models", "cartpole", save_name)
@@ -165,10 +183,10 @@ class TrainCartpole:
         # resample (train_cartpole.py:201-205)
         if (epoch + 1) % cfg["resample_every"] == 0:
             self.key, k = jax.random.split(self.key)
-            self.data = construct_states(
+            self.data = shard_batch(self.mesh, construct_states(
                 k, cfg["sample_data"], self.dt, self.thresh_div,
                 self.train_dyn,
-            )
+            ))
 
         # save best (train_base.py:233-244, suc_up_down=-1)
         if epoch > 0 and res["mean_vel"] < self.best_score:
@@ -193,8 +211,17 @@ class TrainCartpole:
         return self
 
     def finalize(self):
+        # keep the best-by-criterion model_cartpole (saved in evaluate());
+        # final-epoch weights under a distinct name
         save_train_state(
-            self.save_path, "model_cartpole", self.net, self.opt_state,
+            self.save_path, "model_cartpole_final", self.net, self.opt_state,
             {**self.config, "thresh_div": self.thresh_div},
         )
+        if not os.path.exists(
+            os.path.join(self.save_path, "model_cartpole.npz")
+        ):
+            save_train_state(
+                self.save_path, "model_cartpole", self.net, self.opt_state,
+                {**self.config, "thresh_div": self.thresh_div},
+            )
         self.logger.finalize()

@@ -42,6 +42,13 @@ from apg_trajectory_tracking_tpu.models import (
     lstm_net_apply,
     init_lstm_state,
 )
+from apg_trajectory_tracking_tpu.parallel.mesh import (
+    auto_mesh,
+    host_local_rng,
+    make_sharded_epoch,
+    replicate,
+    shard_batch,
+)
 from apg_trajectory_tracking_tpu.trajectory.generate import (
     ensure_trajectory_bank,
     load_trajectory_bank,
@@ -51,7 +58,6 @@ from apg_trajectory_tracking_tpu.training.common import (
     load_config,
     sgd_momentum,
     shuffled_batches,
-    epoch_scan,
 )
 from apg_trajectory_tracking_tpu.utils.logging import ResultsLogger
 
@@ -181,6 +187,7 @@ class TrainQuad:
         base_model=None,
         tensorboard=False,
         minjerk_mix=0.0,
+        mesh=None,
     ):
         self.config = cfg = dict(config or load_config("quad"))
         if train_mode is not None:
@@ -220,8 +227,6 @@ class TrainQuad:
 
         # per-host RNG fold: on multi-host meshes each process samples a
         # disjoint, deterministic data shard (parallel/mesh.py)
-        from apg_trajectory_tracking_tpu.parallel.mesh import host_local_rng
-
         self.rng = host_local_rng(seed)
         self.key = jax.random.PRNGKey(seed)
         self.key, k_net = jax.random.split(self.key)
@@ -250,10 +255,12 @@ class TrainQuad:
         if base_model is not None:
             from apg_trajectory_tracking_tpu.utils.checkpoints import (
                 restore_train_state,
+                resume_name,
             )
 
             self.net, self.opt_state, base_cfg = restore_train_state(
-                base_model, "model_quad", self.net, self.opt_state
+                base_model, resume_name(base_model, "model_quad"),
+                self.net, self.opt_state,
             )
             self.thresh_div = base_cfg.get("thresh_div", self.thresh_div)
             if curriculum:
@@ -271,6 +278,20 @@ class TrainQuad:
         )
         self.buffers = make_quad_buffers(states, refs, num_sampled)
 
+        # the device mesh IS the execution path (not a demo): params /
+        # optimizer momentum / dynamics replicated, data buffers and every
+        # minibatch sharded on 'env', gradients psum-reduced by XLA. On a
+        # single chip auto_mesh degenerates to a size-1 mesh at zero cost;
+        # under init_distributed the same code spans hosts (SURVEY.md 2.9).
+        self.mesh = mesh if mesh is not None else auto_mesh(
+            self.batch_size, num_sampled + num_sp
+        )
+        self.net = replicate(self.mesh, self.net)
+        self.opt_state = replicate(self.mesh, self.opt_state)
+        self.train_dyn = replicate(self.mesh, self.train_dyn)
+        self.eval_dyn = replicate(self.mesh, self.eval_dyn)
+        self._shard_buffers()
+
         if self.mode == "concurrent":
             step = build_concurrent_step(
                 quad_step, self.optimizer, self.dt, self.horizon,
@@ -281,12 +302,7 @@ class TrainQuad:
                 quad_step, self.optimizer, self.dt, self.horizon,
                 self.action_dim, lstm=(self.mode == "LSTM"),
             )
-        self._train_epoch = jax.jit(
-            lambda p, o, dyn, states, refs, idx: epoch_scan(
-                lambda p_, o_, s_, r_: step(p_, o_, dyn, s_, r_),
-                p, o, idx, states, refs,
-            )
-        )
+        self._train_epoch = make_sharded_epoch(self.mesh, step)
 
         if not 0.0 <= float(minjerk_mix) <= 1.0:
             raise ValueError(
@@ -308,6 +324,16 @@ class TrainQuad:
         self.best_score = -np.inf if self.suc_up_down == 1 else np.inf
         self.successes = []
         self.first_epoch_with_this_vel = 0
+
+    def _shard_buffers(self):
+        """(Re-)pin the data buffers onto the mesh's 'env' axis. Functional
+        buffer updates (self-play scatter, resampling) can leave XLA-chosen
+        output shardings; this is a cheap reshard/no-op that keeps the
+        epoch runner's input contract."""
+        states, refs = shard_batch(
+            self.mesh, (self.buffers.states, self.buffers.refs)
+        )
+        self.buffers = self.buffers._replace(states=states, refs=refs)
 
     # -- eval references ----------------------------------------------------
 
@@ -339,7 +365,7 @@ class TrainQuad:
             self.net, self.eval_dyn, refs, ref_len,
             thresh_div=self.thresh_div, thresh_stable=self.thresh_stable,
             horizon=self.horizon, dt=self.dt, test_time=test_time,
-            **eval_kwargs,
+            mesh=self.mesh, **eval_kwargs,
         )
         if not test_time:
             self._self_play_insert(roll)
@@ -377,6 +403,7 @@ class TrainQuad:
         wl = roll["windows"].shape[-2]
         windows = roll["windows"].reshape(-1, wl, 9)[::take]
         self.buffers = insert_self_play(self.buffers, states, windows)
+        self._shard_buffers()
 
     def _resample(self, epoch):
         """Resample the non-self-play segment every resample_every epochs
@@ -391,6 +418,8 @@ class TrainQuad:
                 self.buffers, jnp.asarray(states), jnp.asarray(refs)
             )
             self._apply_minjerk_mix()
+            if self.minjerk_mix <= 0:
+                self._shard_buffers()
 
     def _apply_minjerk_mix(self):
         """Replace a fraction of replay windows with closed-form min-jerk
@@ -441,6 +470,7 @@ class TrainQuad:
         self.buffers = self.buffers._replace(
             refs=self.buffers.refs.at[jnp.asarray(idx)].set(win)
         )
+        self._shard_buffers()
 
     def _speed_curriculum(self, epoch):
         """Speed curriculum (train_base.py:289-332)."""
@@ -499,12 +529,12 @@ class TrainQuad:
         self.finalize()
         return self
 
-    def _save(self, epoch=None):
+    def _save(self, epoch=None, suffix=""):
         from apg_trajectory_tracking_tpu.utils.checkpoints import (
             save_train_state,
         )
 
-        name = "model_quad" + (str(epoch) if epoch is not None else "")
+        name = "model_quad" + (str(epoch) if epoch is not None else suffix)
         save_train_state(
             self.save_path, name, self.net, self.opt_state,
             {
@@ -519,5 +549,12 @@ class TrainQuad:
         )
 
     def finalize(self):
-        self._save()
+        # final-epoch weights go under a distinct name; the unsuffixed
+        # model_quad stays the best-by-criterion snapshot saved in
+        # evaluate() (the one eval CLIs load by default) — unless no
+        # improvement was ever recorded, in which case the final state is
+        # the only checkpoint
+        self._save(suffix="_final")
+        if not os.path.exists(os.path.join(self.save_path, "model_quad.npz")):
+            self._save()
         self.logger.finalize()

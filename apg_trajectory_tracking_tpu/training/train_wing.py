@@ -34,8 +34,13 @@ from apg_trajectory_tracking_tpu.models import (
     init_control_net,
     control_net_apply,
 )
+from apg_trajectory_tracking_tpu.parallel.mesh import (
+    auto_mesh,
+    make_sharded_epoch,
+    replicate,
+    shard_batch,
+)
 from apg_trajectory_tracking_tpu.training.common import (
-    epoch_scan,
     load_config,
     sgd_momentum,
     shuffled_batches,
@@ -80,7 +85,8 @@ def build_wing_step(dyn_step, optimizer, dt_train, dt, horizon, mean, std):
 
 class TrainWing:
     def __init__(self, config=None, seed=0, save_name="test",
-                 modified_params=None, base_model=None, tensorboard=False):
+                 modified_params=None, base_model=None, tensorboard=False,
+                 mesh=None):
         self.config = cfg = dict(config or load_config("wing"))
         self.dt = cfg["delta_t"]
         self.dt_train = cfg.get("delta_t_train", self.dt)
@@ -112,8 +118,13 @@ class TrainWing:
         # resume / fine-tune (the reference's base_model path,
         # train_fixed_wing.py:47-60)
         if base_model is not None:
+            from apg_trajectory_tracking_tpu.utils.checkpoints import (
+                resume_name,
+            )
+
             self.net, self.opt_state, base_cfg = restore_train_state(
-                base_model, "model_wing", self.net, self.opt_state
+                base_model, resume_name(base_model, "model_wing"),
+                self.net, self.opt_state,
             )
             self.thresh_div = base_cfg.get("thresh_div", self.thresh_div)
             self.thresh_stable = base_cfg.get(
@@ -129,21 +140,35 @@ class TrainWing:
         )
         self.buffers = make_wing_buffers(states, refs, n_sp)
 
+        # data-parallel mesh as the default execution path (see
+        # train_quad.py); size-1 degenerate on one chip
+        self.mesh = mesh if mesh is not None else auto_mesh(
+            self.batch_size, n_sampled + n_sp
+        )
+        self.net = replicate(self.mesh, self.net)
+        self.opt_state = replicate(self.mesh, self.opt_state)
+        self.train_dyn = replicate(self.mesh, self.train_dyn)
+        self.eval_dyn = replicate(self.mesh, self.eval_dyn)
+        self._shard_buffers()
+
         step = build_wing_step(
             wing_step, self.optimizer, self.dt_train, self.dt, self.horizon,
             self.mean, self.std,
         )
-        self._train_epoch = jax.jit(
-            lambda p, o, dyn, states, refs, idx: epoch_scan(
-                lambda p_, o_, s_, r_: step(p_, o_, dyn, s_, r_),
-                p, o, idx, states, refs,
-            )
-        )
+        self._train_epoch = make_sharded_epoch(self.mesh, step)
 
         self.save_path = os.path.join("trained_models", "wing", save_name)
         self.logger = ResultsLogger(self.save_path,
                                     tensorboard=tensorboard)
         self.best_score = np.inf  # suc_up_down = -1
+
+    def _shard_buffers(self):
+        """(Re-)pin data buffers onto the mesh's 'env' axis (see
+        TrainQuad._shard_buffers)."""
+        states, refs = shard_batch(
+            self.mesh, (self.buffers.states, self.buffers.refs)
+        )
+        self.buffers = self.buffers._replace(states=states, refs=refs)
 
     def _self_play_insert(self, roll, targets):
         take = self.config.get("self_play_every_x", 2)
@@ -165,6 +190,7 @@ class TrainWing:
             jnp.asarray(sel_states),
             jnp.asarray(sel_targets),
         )
+        self._shard_buffers()
         return len(sel_states)
 
     def evaluate(self, epoch, nr_test=10):
@@ -178,7 +204,7 @@ class TrainWing:
                     self.net, self.eval_dyn, k, self.mean, self.std,
                     nr_test=5, thresh_div=self.thresh_div,
                     thresh_stable=self.thresh_stable, horizon=self.horizon,
-                    dt=self.dt,
+                    dt=self.dt, mesh=self.mesh,
                 )
                 collected += self._self_play_insert(roll, targets)
 
@@ -187,7 +213,7 @@ class TrainWing:
             self.net, self.eval_dyn, k, self.mean, self.std,
             nr_test=nr_test, thresh_div=self.thresh_div,
             thresh_stable=self.thresh_stable, horizon=self.horizon,
-            dt=self.dt,
+            dt=self.dt, mesh=self.mesh,
         )
         self._self_play_insert(roll, targets)
 
@@ -197,7 +223,7 @@ class TrainWing:
             self.net, self.eval_dyn, k, self.mean, self.std,
             nr_test=2, thresh_div=self.thresh_div,
             thresh_stable=self.thresh_stable, horizon=self.horizon,
-            dt=self.dt, test_time=True,
+            dt=self.dt, test_time=True, mesh=self.mesh,
         )
         self.logger.log_dict(metrics)
         self.logger.log("mean_divergence", test_metrics["mean_success"])
@@ -240,9 +266,9 @@ class TrainWing:
         self.finalize()
         return self
 
-    def _save(self):
+    def _save(self, suffix=""):
         save_train_state(
-            self.save_path, "model_wing", self.net, self.opt_state,
+            self.save_path, "model_wing" + suffix, self.net, self.opt_state,
             {
                 **self.config,
                 "thresh_div": self.thresh_div,
@@ -253,5 +279,9 @@ class TrainWing:
         )
 
     def finalize(self):
-        self._save()
+        # keep the best-by-criterion model_wing (saved in evaluate());
+        # final-epoch weights under a distinct name
+        self._save(suffix="_final")
+        if not os.path.exists(os.path.join(self.save_path, "model_wing.npz")):
+            self._save()
         self.logger.finalize()

@@ -168,7 +168,24 @@ def generate_trajectory_bank(
 
     Same on-disk layout as the reference dataset (``train/traj_<i>.npy``,
     ``test/traj_<i>.npy`` + config.json) so external tooling can reuse it.
+
+    The split assignment depends on (seed, n_train, n_test): regenerating
+    an existing bank with different sizes would silently move seeds across
+    the train/test boundary (test contamination), so that is refused —
+    generate differently-sized banks into fresh directories (the CI
+    default is 200/20 in data/traj_data; the full-scale eval bank is
+    1000/100 in data/traj_data_full, ~17 s to generate).
     """
+    marker = os.path.join(out_dir, "config.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = json.load(f)
+        if (prev.get("n_train"), prev.get("n_test")) != (n_train, n_test):
+            raise ValueError(
+                f"{out_dir} already holds a {prev.get('n_train')}/"
+                f"{prev.get('n_test')} bank; resizing in place would move "
+                "seeds across the train/test split — use a fresh out_dir"
+            )
     rng = np.random.RandomState(seed)
     seeds = rng.permutation(100000)[: n_train + n_test]
     for sub in ("train", "test"):
@@ -221,10 +238,11 @@ def prepare_trajectory(traj, dt, speed_factor):
     Returns:
         (T', 9) array of [pos(3), euler*sf(3), vel*2sf(3)].
     """
-    take_every = int(round(dt / 0.01 * speed_factor))
-    assert np.isclose(take_every, dt / 0.01 * speed_factor), (
-        "dt/speed_factor must give an integer subsampling stride"
-    )
+    # non-integer strides degrade gracefully like the reference's int()
+    # truncation (generate_trajectory.py:587) — e.g. --speed 0.25 at
+    # dt 0.1 gives stride 2.5 -> 2, replaying slightly slower than asked
+    # rather than crashing
+    take_every = max(int(dt / 0.01 * speed_factor), 1)
     taken = traj[::take_every]
     euler = quaternion_to_euler(taken[:, 3:7])
     return np.concatenate(

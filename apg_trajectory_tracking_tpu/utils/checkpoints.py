@@ -68,6 +68,16 @@ def resolve_model_dir(model, system):
     return os.path.join("trained_models", system, model)
 
 
+def resume_name(save_dir, base):
+    """Checkpoint name to resume training from: the final-epoch snapshot
+    (``<base>_final``, written by finalize) when present, else the
+    unsuffixed best-by-criterion one. Keeps resume = continue-from-where-
+    training-stopped while eval CLIs load the best model by default."""
+    if os.path.exists(os.path.join(save_dir, f"{base}_final.npz")):
+        return f"{base}_final"
+    return base
+
+
 def save_train_state(save_dir, name, net, opt_state, config=None):
     """Save net + optimizer state (+ config): the full resumable train
     state (the reference resumes from ``base_model`` whole-module pickles,

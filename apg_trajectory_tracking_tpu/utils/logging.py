@@ -26,21 +26,28 @@ class ResultsLogger:
         # import-guarded TensorBoard scalars, like the reference's no-op
         # SummaryWriter fallback (train_base.py:8-27)
         self._tb = None
+        self._tb_steps = defaultdict(int)
         if tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
                 self._tb = SummaryWriter(save_path)
-            except Exception:
-                pass
+            except Exception as exc:
+                print(
+                    "tensorboard requested but unavailable "
+                    f"({exc!r}); falling back to CSV/JSON logging"
+                )
 
     def log(self, key, value):
         self.results[key].append(
             float(value) if np.isscalar(value) or hasattr(value, "item") else value
         )
         if self._tb is not None and np.isscalar(self.results[key][-1]):
+            # per-key step counter: the seeded loss sentinel (above) is a
+            # results-list alignment artifact and must not offset TB steps
             self._tb.add_scalar(key, self.results[key][-1],
-                                len(self.results[key]) - 1)
+                                self._tb_steps[key])
+            self._tb_steps[key] += 1
 
     def log_dict(self, d):
         for k, v in d.items():

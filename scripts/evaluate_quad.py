@@ -242,13 +242,17 @@ def main():
             return metrics
 
         if args.sweep:
-            results = param_sweep(
-                lambda mp: {
-                    "err": eval_with(mp)["mean_divergence"],
-                    "stable": eval_with(mp)["ratio_stable"],
-                },
-                DEFAULT_QUAD_CFG,
-            )
+            # ONE eval per parameter value: err and stable must come from
+            # the same rollouts (a per-metric eval_with call would draw
+            # different test trajectories from the shared RNG and cost 2x)
+            def sweep_metrics(mp):
+                m = eval_with(mp)
+                return {
+                    "err": m["mean_divergence"],
+                    "stable": m["ratio_stable"],
+                }
+
+            results = param_sweep(sweep_metrics, DEFAULT_QUAD_CFG)
             print(json.dumps(results, indent=1, default=float))
             return
         metrics = eval_with({})

@@ -19,6 +19,17 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("-s", "--save_name", default="ppo")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--reward", default="mario",
+                        choices=["mario", "mpc"],
+                        help="quad reward shaping: mario "
+                             "(rl_envs.py:257-308, the reference default) "
+                             "or mpc (rl_envs.py:227-255)")
+    parser.add_argument("--mario_env", action="store_true",
+                        help="QuadEnvMario variant: horizon-1 reference "
+                             "observation (rl_envs.py:446-459)")
+    parser.add_argument("--speed", type=float, default=0.2,
+                        help="trajectory replay speed factor for the quad "
+                             "env")
     args = parser.parse_args()
 
     if args.cpu:
@@ -61,10 +72,14 @@ def main():
 
         bank = load_trajectory_bank(ensure_trajectory_bank("data/traj_data"))
         prepared = np.stack(
-            [prepare_trajectory(t, 0.1, 0.2) for t in bank[:64]]
+            [prepare_trajectory(t, 0.1, args.speed) for t in bank[:64]]
         )
-        reset_fn, step_fn, obs_dim, act_dim = rl_envs.make_quad_rl(
-            quad_params(), jnp.asarray(prepared)
+        make_env = (
+            rl_envs.make_quad_rl_mario if args.mario_env
+            else rl_envs.make_quad_rl
+        )
+        reset_fn, step_fn, obs_dim, act_dim = make_env(
+            quad_params(), jnp.asarray(prepared), reward=args.reward
         )
         default_steps = 2_000_000
         act_low, act_high = -1.0, 1.0

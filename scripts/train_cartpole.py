@@ -22,7 +22,17 @@ def main():
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny run: 3 epochs, 200 samples")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() "
+                             "before building the mesh")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="cap the mesh at this many devices")
     args = parser.parse_args()
+
+    if args.distributed:
+        from apg_trajectory_tracking_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
 
     if args.cpu:
         import jax
@@ -42,11 +52,17 @@ def main():
     if args.smoke:
         overrides = {"sample_data": 200, "nr_epochs": 3}
     config = load_config("cartpole", overrides)
+    mesh = None
+    if args.devices is not None:
+        from apg_trajectory_tracking_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices)
     trainer = TrainCartpole(
         config, swingup=not args.balance, seed=args.seed,
         save_name=args.save_name, base_model=args.base_model,
-        tensorboard=args.tensorboard,
+        tensorboard=args.tensorboard, mesh=mesh,
     )
+    print(f"mesh: {dict(trainer.mesh.shape)}")
     trainer.fit(args.epochs)
 
 

@@ -29,7 +29,19 @@ def main():
     parser.add_argument("--minjerk_mix", type=float, default=0.0,
                         help="fraction of replay windows replaced by "
                              "min-jerk windows (analytic-ref robustness)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() "
+                             "before building the mesh (TPU pods "
+                             "auto-detect coordinator/process info)")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="cap the mesh at this many devices "
+                             "(default: all)")
     args = parser.parse_args()
+
+    if args.distributed:
+        from apg_trajectory_tracking_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
 
     if args.cpu:
         import jax
@@ -49,12 +61,19 @@ def main():
     if args.smoke:
         overrides = {"epoch_size": 64, "nr_epochs": 2, "self_play": 1}
     config = load_config("quad", overrides)
+    mesh = None
+    if args.devices is not None:
+        from apg_trajectory_tracking_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices)
     trainer = TrainQuad(
         config, train_mode=args.mode, seed=args.seed,
         save_name=args.save_name, curriculum=not args.no_curriculum,
         base_model=args.base_model, tensorboard=args.tensorboard,
-        minjerk_mix=args.minjerk_mix,
+        minjerk_mix=args.minjerk_mix, mesh=mesh,
     )
+    print(f"mesh: {dict(trainer.mesh.shape)} over "
+          f"{trainer.mesh.size} device(s)")
     trainer.fit(args.epochs)
 
 

@@ -19,7 +19,17 @@ def main():
     parser.add_argument("--base_model", default=None,
                         help="checkpoint dir to resume/fine-tune from")
     parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() "
+                             "before building the mesh")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="cap the mesh at this many devices")
     args = parser.parse_args()
+
+    if args.distributed:
+        from apg_trajectory_tracking_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
 
     if args.cpu:
         import jax
@@ -39,9 +49,15 @@ def main():
     if args.smoke:
         overrides = {"self_play": 200, "nr_epochs": 2, "epoch_size": 64}
     config = load_config("wing", overrides)
+    mesh = None
+    if args.devices is not None:
+        from apg_trajectory_tracking_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices)
     trainer = TrainWing(config, seed=args.seed, save_name=args.save_name,
                         base_model=args.base_model,
-                        tensorboard=args.tensorboard)
+                        tensorboard=args.tensorboard, mesh=mesh)
+    print(f"mesh: {dict(trainer.mesh.shape)}")
     trainer.fit(args.epochs)
 
 

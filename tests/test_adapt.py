@@ -1,5 +1,6 @@
 """Dynamics-adaptation tests: the residual learns a wind mismatch."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,7 @@ def test_run_dynamics_alternation(tmp_path, monkeypatch):
     assert len(trainer.logger.results["loss"]) >= 1  # controller epochs
 
 
+@pytest.mark.slow
 def test_quad_adapt_closes_dynamics_gap(tmp_path, monkeypatch, tiny_bank):
     """Residual fitting shrinks the one-step gap to the mismatched quad env
     and the alternation trains the controller against the adapted model

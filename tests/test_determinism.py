@@ -2,6 +2,7 @@
 seeds produce bit-identical training outcomes; the long-horizon remat knob
 produces the same gradients as plain BPTT."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,6 +12,7 @@ def _leaves(t):
     return jax.tree_util.tree_leaves(t)
 
 
+@pytest.mark.slow
 def test_cartpole_training_deterministic(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from apg_trajectory_tracking_tpu.training.train_cartpole import (

@@ -80,6 +80,38 @@ def test_cartpole_rl_image_obs():
     assert obs.shape == (3, 100, 120)
 
 
+def test_sweep_single_eval_per_param(monkeypatch, capsys):
+    """evaluate_quad --sweep runs exactly ONE eval per swept parameter
+    value, with err and stable read from the same rollouts (regression for
+    the double-eval that drew different test trajectories per column)."""
+    import json
+    import sys
+
+    import apg_trajectory_tracking_tpu.evaluation.quad_eval as qe
+
+    calls = {"n": 0}
+
+    def counting_run_eval(*a, **k):
+        calls["n"] += 1
+        return {"mean_divergence": 0.1, "ratio_stable": 1.0}, None
+
+    monkeypatch.setattr(qe, "run_eval", counting_run_eval)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["evaluate_quad.py", "-m", "assets/quad_trained", "-a", "2",
+         "--sweep"],
+    )
+    sys.path.insert(0, "scripts")
+    import evaluate_quad
+
+    evaluate_quad.main()
+    out = capsys.readouterr().out
+    results = json.loads(out[out.index("{"):])
+    n_entries = sum(len(v) for v in results.values())
+    assert n_entries > 0
+    assert calls["n"] == n_entries
+
+
 def test_logger_tensorboard_guard(tmp_path):
     from apg_trajectory_tracking_tpu.utils.logging import ResultsLogger
 

@@ -1,5 +1,6 @@
 """Image/sequence cartpole experiment component tests."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,7 @@ def test_render_image_responds_to_theta():
     assert 0 <= img_up.min() and img_up.max() <= 1
 
 
+@pytest.mark.slow
 def test_state_to_img_trains_toward_renderer():
     """The generator can fit the procedural renderer (a few Adam steps
     reduce the reconstruction loss)."""
@@ -123,6 +125,7 @@ def test_image_dqn_shapes_and_grad():
     assert all(np.all(np.isfinite(l)) for l in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_image_dynamics_adaptation_end_to_end():
     """The vision-conditioned residual fits a pole-length mismatch better
     than the analytic model (the reference's train_image_dyn experiment,
@@ -145,6 +148,7 @@ def test_image_dynamics_adaptation_end_to_end():
     assert img_err < 0.8 * analytic_err, (img_err, analytic_err)
 
 
+@pytest.mark.slow
 def test_sequence_dynamics_adaptation_end_to_end():
     """The history-conditioned residual fits a wind mismatch far better
     than the analytic model (train_seq_dyn, train_cartpole.py:40-73)."""

@@ -79,3 +79,77 @@ def test_dryrun_multichip():
 def test_mesh_model_axis():
     mesh = make_mesh(8, model_parallel=2)
     assert mesh.shape["env"] == 4 and mesh.shape["model"] == 2
+
+
+@pytest.mark.slow
+def test_trainer_epoch_single_vs_8dev(tmp_path, monkeypatch):
+    """The REAL TrainQuad.fit on a 1-device mesh vs the 8-device mesh
+    produces the same loss curve (the mesh is the production execution
+    path, not a demo; tolerance = float32 psum reduction-order noise)."""
+    from apg_trajectory_tracking_tpu.training.common import load_config
+    from apg_trajectory_tracking_tpu.training.train_quad import TrainQuad
+
+    monkeypatch.chdir(tmp_path)
+    import os
+
+    os.symlink(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "data"),
+        "data",
+    )
+    cfg = load_config(
+        "quad",
+        dict(epoch_size=64, self_play=0.5, nr_epochs=3, resample_every=2),
+    )
+    losses = {}
+    for nd in (1, 8):
+        t = TrainQuad(
+            config=cfg, seed=0, save_name=f"meshtest{nd}",
+            mesh=make_mesh(nd),
+        )
+        assert t.mesh.shape["env"] == nd
+        assert t.buffers.states.sharding.spec == jax.sharding.PartitionSpec(
+            "env"
+        )
+        t.fit(nr_epochs=3, nr_test=10, verbose=False)
+        losses[nd] = np.asarray(t.logger.results["loss"], dtype=float)
+    np.testing.assert_allclose(losses[1], losses[8], rtol=2e-5, atol=1e-4)
+
+
+def test_auto_mesh_divisibility():
+    from apg_trajectory_tracking_tpu.parallel.mesh import auto_mesh
+
+    assert auto_mesh(8, 2000).shape["env"] == 8
+    assert auto_mesh(7, 2000).shape["env"] == 1  # nothing divides 7
+    assert auto_mesh(4, 100).shape["env"] == 4
+
+
+def test_pad_to_multiple():
+    from apg_trajectory_tracking_tpu.parallel.mesh import pad_to_multiple
+
+    x = jnp.arange(10)
+    padded, n = pad_to_multiple(x, 8)
+    assert n == 10 and padded.shape[0] == 16
+    np.testing.assert_array_equal(np.asarray(padded[:10]), np.arange(10))
+    # pad > n case
+    y = jnp.arange(3)
+    padded, n = pad_to_multiple(y, 8)
+    assert n == 3 and padded.shape[0] == 8
+
+
+def test_sharded_eval_padding_matches_unsharded():
+    """quad run_eval with a mesh (nr_test=10 padded to 16 over 8 devices)
+    returns the same metrics as without."""
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import run_eval
+
+    key = jax.random.PRNGKey(1)
+    net = init_control_net(key, 15, 10, 9, 40, conv=True)
+    dyn = quad_params()
+    rng = np.random.RandomState(3)
+    refs = jnp.asarray(rng.randn(10, 40, 9).astype(np.float32) * 0.1)
+    m_plain, _ = run_eval(net, dyn, refs, 30, horizon=10, dt=0.1)
+    m_mesh, roll = run_eval(
+        net, dyn, refs, 30, horizon=10, dt=0.1, mesh=make_mesh(8)
+    )
+    assert roll["divergences"].shape[0] == 10
+    for k in m_plain:
+        assert m_plain[k] == pytest.approx(m_mesh[k], rel=1e-5, abs=1e-6), k

@@ -1,6 +1,7 @@
 """PETS baseline test: ensemble + CEM must learn to balance the cartpole
 within a few trials."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,7 @@ from apg_trajectory_tracking_tpu.envs.cartpole_env import (
 )
 
 
+@pytest.mark.slow
 def test_pets_learns_cartpole_balance():
     agent = PETS(
         4, 1, cartpole_reward, -1.0, 1.0, horizon=10, seed=0,

@@ -45,6 +45,43 @@ def test_quad_rl_env_contract():
     assert obs.shape == (obs_dim,) and np.isfinite(float(rew))
 
 
+def test_quad_rl_reward_variants():
+    """mpc reward + QuadEnvMario variant (rl_envs.py:227-255,446-459)."""
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+
+    bank = np.random.RandomState(1).randn(3, 60, 9).astype(np.float32) * 0.1
+    dyn = quad_params()
+    reset_fn, step_fn, obs_dim, _ = rl_envs.make_quad_rl(
+        dyn, jnp.asarray(bank), reward="mpc"
+    )
+    s, obs = reset_fn(jax.random.PRNGKey(0))
+    s, obs, rew_mpc, done = step_fn(s, jnp.zeros(4), jax.random.PRNGKey(1))
+    assert np.isfinite(float(rew_mpc))
+
+    # same transition, mario reward differs (different shaping)
+    reset_m, step_m, _, _ = rl_envs.make_quad_rl(
+        dyn, jnp.asarray(bank), reward="mario"
+    )
+    sm, _ = reset_m(jax.random.PRNGKey(0))
+    _, _, rew_mario, _ = step_m(sm, jnp.zeros(4), jax.random.PRNGKey(1))
+    assert float(rew_mpc) != float(rew_mario)
+
+    # QuadEnvMario: horizon-1 obs = 15 + 9
+    reset1, step1, obs_dim1, _ = rl_envs.make_quad_rl_mario(
+        dyn, jnp.asarray(bank)
+    )
+    assert obs_dim1 == 24
+    s1, o1 = reset1(jax.random.PRNGKey(2))
+    assert o1.shape == (24,)
+    _, o1, r1, _ = step1(s1, jnp.zeros(4), jax.random.PRNGKey(3))
+    assert o1.shape == (24,) and np.isfinite(float(r1))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rl_envs.make_quad_rl(dyn, jnp.asarray(bank), reward="bogus")
+
+
 def test_wing_rl_env_contract():
     from apg_trajectory_tracking_tpu.dynamics.fixed_wing import wing_params
 

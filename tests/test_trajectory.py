@@ -120,6 +120,19 @@ def test_prepare_trajectory_semantics():
     np.testing.assert_allclose(out[:, 6:9], traj[::6][:, 7:10] * 1.2, atol=1e-5)
 
 
+def test_prepare_trajectory_noninteger_stride():
+    """Non-integer dt/0.01*speed strides truncate gracefully like the
+    reference's int() (generate_trajectory.py:587) instead of crashing —
+    regression for --speed 0.25."""
+    traj = generate_one_trajectory(seed=6, duration=5.0, dt=0.01)
+    out = prepare_trajectory(traj, dt=0.1, speed_factor=0.25)  # stride 2.5
+    assert out.shape == (len(traj[::2]), 9)
+    np.testing.assert_allclose(out[:, :3], traj[::2][:, :3], atol=1e-6)
+    # tiny speeds: stride clamps to 1
+    out2 = prepare_trajectory(traj, dt=0.1, speed_factor=0.05)
+    assert out2.shape[0] == len(traj)
+
+
 def test_quaternion_roundtrip():
     rpy = (RNG.rand(20, 3) - 0.5) * np.array([2.0, 1.5, 4.0])
     q = euler_to_quaternion(rpy[:, 0], rpy[:, 1], rpy[:, 2])
