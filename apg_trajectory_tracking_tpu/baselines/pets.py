@@ -283,3 +283,93 @@ class PETS:
             self.model, self.opt_state, k, s, a, s2, n_batches
         )
         return float(loss)
+
+
+def run_pets_cartpole(trials=200, trial_length=200, seed=0, dt=0.05,
+                      verbose=True):
+    """The reference's PETS cartpole protocol (pets_baseline.py:63-65,
+    156-162, 255-330): one random-action exploration trial, then
+    ``trials`` trials of (train ensemble -> plan with CEM each step),
+    episode break when the pole leaves the upright band.
+
+    Returns (agent, rewards_per_trial). The reference budget is 200 trials
+    of 200 steps.
+    """
+    from apg_trajectory_tracking_tpu.dynamics.cartpole import cartpole_params
+    from apg_trajectory_tracking_tpu.envs.cartpole_env import (
+        env_step,
+        reset_upright,
+    )
+
+    dyn = cartpole_params()
+    agent = PETS(
+        state_dim=4, act_dim=1, reward_fn=cartpole_reward,
+        act_low=-1.0, act_high=1.0, seed=seed, horizon=10,
+        population=150, n_elites=15, n_particles=5, n_iters=5,
+    )
+    key = jax.random.PRNGKey(seed)
+
+    key, k = jax.random.split(key)
+    state = np.asarray(reset_upright(k, 1)[0])
+    rng = np.random.RandomState(seed)
+    for _ in range(trial_length):
+        a = rng.rand(1).astype(np.float32) * 2 - 1
+        s2 = np.asarray(env_step(dyn, jnp.asarray(state), jnp.asarray(a), dt))
+        agent.record(state, a, s2)
+        state = s2
+        if abs(state[2]) > 1.0:
+            key, k = jax.random.split(key)
+            state = np.asarray(reset_upright(k, 1)[0])
+
+    rewards_per_trial = []
+    for trial in range(trials):
+        loss = agent.train_model(n_batches=200)
+        key, k = jax.random.split(key)
+        state = np.asarray(reset_upright(k, 1)[0])
+        agent.reset_plan()
+        total, step_i = 0.0, 0
+        for step_i in range(trial_length):
+            a = agent.act(state)
+            s2 = np.asarray(
+                env_step(dyn, jnp.asarray(state), jnp.asarray(a), dt)
+            )
+            agent.record(state, a, s2)
+            upright = bool(np.abs(s2[2]) < 0.21)
+            total += (1.0 - abs(float(s2[1]))) if upright else 0.0
+            state = s2
+            if not upright:
+                break
+        rewards_per_trial.append(total)
+        if verbose:
+            print(f"trial {trial}: reward {total:.1f} steps {step_i + 1} "
+                  f"model loss {loss:.2f}")
+    return agent, rewards_per_trial
+
+
+def eval_pets_balance(agent, dyn_params, starts, max_steps=250, dt=0.05,
+                      thresh_div=0.21):
+    """Balance-evaluator metrics (steps upright, mean |velocity|) for a
+    trained PETS agent from given start states — the cartpole head-to-head
+    protocol (every controller family starts from the same states)."""
+    from apg_trajectory_tracking_tpu.envs.cartpole_env import env_step
+
+    steps_list, vels = [], []
+    for s0 in np.asarray(starts):
+        agent.reset_plan()
+        state = s0
+        steps = 0
+        for i in range(max_steps):
+            a = agent.act(state)
+            state = np.asarray(
+                env_step(dyn_params, jnp.asarray(state), jnp.asarray(a), dt)
+            )
+            vels.append(abs(float(state[1])))
+            if abs(state[2]) >= thresh_div:
+                break
+            steps = i
+        steps_list.append(steps)
+    return {
+        "mean_vel": float(np.mean(vels)),
+        "mean_stable": float(np.mean(steps_list)),
+        "std_stable": float(np.std(steps_list)),
+    }

@@ -19,7 +19,10 @@ from apg_trajectory_tracking_tpu.envs.cartpole_env import (
 from apg_trajectory_tracking_tpu.models import cartpole_net_apply
 
 
-@partial(jax.jit, static_argnames=("nr_iters", "horizon", "max_steps", "dt"))
+@partial(
+    jax.jit,
+    static_argnames=("nr_iters", "horizon", "max_steps", "dt", "net_apply"),
+)
 def evaluate_balance(
     net_params,
     dyn_params,
@@ -28,19 +31,28 @@ def evaluate_balance(
     dt=0.05,
     horizon=10,
     thresh_div=0.21,
+    states=None,
+    net_apply=cartpole_net_apply,
 ):
     """Balance evaluation (evaluate_cartpole.py:79-262).
 
     Episodes start from the exact zero state (the reference's
     ``initialize_straight`` zeroes position, velocity, and angle,
-    lines 103-114). Returns the metrics dict of the reference:
-    mean/std |cart velocity| over steps taken, mean/std steps balanced.
+    lines 103-114) unless explicit ``states`` (n, 4) are given (used by the
+    baseline head-to-head, which starts all controllers from the same
+    near-upright perturbations). ``net_apply(params, states) -> (n, horizon)
+    actions`` swaps in other controller families. Returns the metrics dict
+    of the reference: mean/std |cart velocity| over steps taken, mean/std
+    steps balanced.
     """
-    states = jnp.zeros((nr_iters, 4), dtype=jnp.float32)
+    if states is None:
+        states = jnp.zeros((nr_iters, 4), dtype=jnp.float32)
+    else:
+        nr_iters = states.shape[0]
 
     def body(carry, i):
         state, alive, steps, vel_sum, vel_sq_sum, n_vel = carry
-        actions = cartpole_net_apply(net_params, state)
+        actions = net_apply(net_params, state)
         a0 = actions.reshape(-1, horizon, 1)[:, 0]
         new_state = env_step(dyn_params, state, a0, dt)
         # velocity recorded for every executed step (while alive)

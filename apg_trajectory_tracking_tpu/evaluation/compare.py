@@ -1,0 +1,244 @@
+"""Head-to-head baseline comparison on the tracking metric.
+
+The reference evaluates its PPO policy through the same quad evaluator and
+divergence metric as APG (``baselines/ppo_baseline.py:322-340`` ->
+``evaluate_drone.run_eval``); this module does that for every controller
+family so one table compares APG vs MPC (Adam shooting and iLQR) vs PPO on
+identical test trajectories:
+
+  * APG nets go through :func:`quad_eval.run_eval` directly;
+  * PPO actors are adapted into the same evaluator (obs = the RL env's
+    [ref-features, state-features] concatenation, tanh-space mean action
+    rescaled like ``QuadEnvRL.step``, rl_envs.py:313);
+  * MPC solves run batched over all test trajectories inside one scan —
+    the reference's per-step IPOPT loop with ``F.map(openmp)``
+    (mpc.py:173,303) becomes a vmapped in-graph solve.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from apg_trajectory_tracking_tpu.baselines.ppo import policy_mean
+from apg_trajectory_tracking_tpu.dynamics.quad import quad_step, quad_is_stable
+from apg_trajectory_tracking_tpu.trajectory.refs import array_ref_window
+
+
+def ppo_net_apply(params, carry, in_state, in_ref):
+    """Adapt a PPO actor to the quad evaluator's net interface: the RL
+    env's observation layout (rl_envs.make_quad_rl _obs) from the
+    evaluator's featurized inputs."""
+    obs = jnp.concatenate(
+        [in_ref.reshape(in_ref.shape[0], -1), in_state], axis=1
+    )
+    return carry, policy_mean(params, obs)
+
+
+def ppo_action_transform(mean):
+    """Deterministic eval action: clipped mean rescaled from [-1, 1] to the
+    env's [0, 1] (rl_envs.py:313)."""
+    return (jnp.clip(mean, -1.0, 1.0) + 1.0) / 2.0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("solve", "dyn_step", "horizon", "max_steps", "dt"),
+)
+def mpc_follow_trajectories(
+    solve,
+    dyn_params,
+    references,
+    ref_len,
+    thresh_div=1.0,
+    thresh_stable=1.0,
+    dyn_step=quad_step,
+    horizon=10,
+    max_steps=251,
+    dt=0.1,
+):
+    """Batched receding-horizon MPC rollout with the evaluator's test-time
+    semantics (break on divergence/instability) and warm-start shifting
+    (mpc.py:336-338). ``solve(dyn_params, x0 (12,), ref (h, 12), z (h, u))
+    -> (u_seq, z, cost)`` is vmapped over the trajectory batch.
+
+    Returns the same {divergences, valid} contract as follow_trajectories,
+    so run-of-the-mill metrics code applies unchanged.
+    """
+    n = references.shape[0]
+    u_dim = 4
+    v_solve = jax.vmap(solve, in_axes=(None, 0, 0, 0))
+
+    init_state = jnp.zeros((n, 12), dtype=jnp.float32)
+    init_state = init_state.at[:, :3].set(references[:, 0, :3])
+    z0 = jnp.zeros((n, horizon, u_dim), jnp.float32)
+
+    def body(carry, i):
+        state, z, done = carry
+        # MPC consumes raw [pos, att, vel] rows padded to 12 state dims
+        # (MPC._ref_quad); the window starts at the NEXT reference row,
+        # like the reference's evaluate loop
+        window9 = jax.vmap(
+            lambda ref: array_ref_window(ref, i, horizon)
+        )(references)
+        window = jnp.concatenate(
+            [window9, jnp.zeros((n, horizon, 3), jnp.float32)], axis=2
+        )
+        u_seq, z_new, _ = v_solve(dyn_params, state, window, z)
+        new_state = dyn_step(dyn_params, state, u_seq[:, 0], dt)
+        # warm start: shift one step
+        z_shift = jnp.concatenate([z_new[:, 1:], z_new[:, -1:]], axis=1)
+
+        stable = quad_is_stable(new_state, thresh_stable)
+        proj = references[:, jnp.minimum(i + 1, references.shape[1] - 1), :3]
+        div = jnp.linalg.norm(proj - new_state[:, :3], axis=1)
+        diverged = jnp.logical_or(div > thresh_div, ~stable)
+
+        step_valid = jnp.logical_and(~done, i <= ref_len)
+        new_done = jnp.logical_or(done, diverged)
+        next_state = jnp.where(done[:, None], state, new_state)
+        next_z = jnp.where(done[:, None, None], z, z_shift)
+        return (next_state, next_z, new_done), (div, step_valid)
+
+    init = (init_state, z0, jnp.zeros(n, dtype=bool))
+    _, (divs, valid) = jax.lax.scan(body, init, jnp.arange(max_steps))
+    return {
+        "divergences": jnp.swapaxes(divs, 0, 1),
+        "valid": jnp.swapaxes(valid, 0, 1),
+    }
+
+
+def tracking_metrics(roll, thresh_div, ref_len, max_steps=251):
+    """The quad evaluator's aggregate metrics (evaluate_drone.py:237-300)
+    from a {divergences, valid} rollout dict."""
+    divs = np.asarray(roll["divergences"])
+    valid = np.asarray(roll["valid"])
+    n_steps = valid.sum(axis=1)
+    div_mean_per = np.where(
+        n_steps > 0, (divs * valid).sum(axis=1) / np.maximum(n_steps, 1), 0.0
+    )
+    stable_counts = ((divs < thresh_div) & valid).sum(axis=1)
+    max_steps_stable = int(min(max_steps, ref_len + 1))
+    full = stable_counts == max_steps_stable
+    div_full = div_mean_per[full] if full.any() else div_mean_per
+    return {
+        "mean_divergence": float(div_mean_per.mean()),
+        "std_divergence": float(div_mean_per.std()),
+        "mean_divergence_full": float(div_full.mean()),
+        "std_divergence_full": float(div_full.std()),
+        "ratio_stable": float(full.mean()),
+        "mean_success": float(stable_counts.mean()),
+    }
+
+
+def make_cartpole_mpc_apply(mpc):
+    """Adapt the cartpole MPC into the balance evaluator's net_apply
+    interface: per-step cold-start solve toward the ramp-to-zero reference
+    (MPC._ref_cartpole; the evaluator's stateless policy interface means no
+    warm start is threaded — the Adam solve budget covers it)."""
+    horizon = mpc.horizon
+    v_solve = jax.vmap(mpc._solve, in_axes=(None, 0, 0, 0))
+    alphas = jnp.linspace(1.0, 0.0, horizon + 2)[1:-1]
+
+    def mpc_apply(_, states):
+        n = states.shape[0]
+        refs = states[:, None, :4] * alphas[None, :, None]
+        z0 = jnp.zeros((n, horizon, 1), jnp.float32)
+        u, _, _ = v_solve(mpc.dyn_params, states, refs, z0)
+        return u[:, :, 0]
+
+    return mpc_apply
+
+
+def eval_cartpole_ppo_balance(params, dyn_params, starts, max_steps=250,
+                              dt=0.05, thresh_div=0.21):
+    """Run a cartpole PPO policy (history-observation RL env) from given
+    start states and report the balance evaluator's metrics."""
+    from apg_trajectory_tracking_tpu.baselines.rl_envs import (
+        make_cartpole_rl,
+    )
+
+    reset_fn, step_fn, obs_dim, act_dim = make_cartpole_rl(dyn_params, dt=dt)
+    n = starts.shape[0]
+
+    # build env states seeded with the shared starts: history buffers
+    # filled with the start state, zero past actions
+    proto, _ = jax.vmap(reset_fn)(jax.random.split(jax.random.PRNGKey(0), n))
+    env_states = proto._replace(
+        state=starts,
+        state_buffer=jnp.repeat(
+            starts[:, None, :], proto.state_buffer.shape[1], axis=1
+        ),
+        action_buffer=jnp.zeros_like(proto.action_buffer),
+        step_ind=jnp.zeros(n, jnp.int32),
+    )
+
+    def obs_of(s):
+        # the env's observation layout (rl_envs.make_cartpole_rl _obs):
+        # 3 rows of [state(4), action(1)] history, flattened
+        hist = jnp.concatenate(
+            [s.state_buffer[:3], s.action_buffer[:3]], axis=1
+        )
+        return hist.reshape(-1)
+
+    @jax.jit
+    def run(params, env_states):
+        def body(carry, i):
+            s, alive, steps, vel_sum, n_vel = carry
+            obs = jax.vmap(obs_of)(s)
+            act = jnp.clip(policy_mean(params, obs), -1.0, 1.0)
+            nxt, _, _, done = jax.vmap(step_fn)(
+                s, act, jax.random.split(jax.random.PRNGKey(0), n)
+            )
+            v = jnp.abs(nxt.state[:, 1])
+            upright = jnp.abs(nxt.state[:, 2]) < thresh_div
+            vel_sum = vel_sum + jnp.where(alive, v, 0.0)
+            n_vel = n_vel + alive.astype(jnp.int32)
+            steps = jnp.where(alive, i, steps)
+            alive = alive & upright
+            # latch: keep the old env state once an episode ends
+            s = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    alive.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                nxt, s,
+            )
+            return (s, alive, steps, vel_sum, n_vel), None
+
+        init = (
+            env_states, jnp.ones(n, bool), jnp.zeros(n, jnp.int32),
+            jnp.zeros(n), jnp.zeros(n, jnp.int32),
+        )
+        (_, _, steps, vel_sum, n_vel), _ = jax.lax.scan(
+            body, init, jnp.arange(max_steps)
+        )
+        return steps, vel_sum, n_vel
+
+    steps, vel_sum, n_vel = run(params, env_states)
+    steps = np.asarray(steps, dtype=float)
+    mean_vel = float(np.asarray(vel_sum).sum() / max(np.asarray(n_vel).sum(), 1))
+    return {
+        "mean_vel": mean_vel,
+        "mean_stable": float(steps.mean()),
+        "std_stable": float(steps.std()),
+    }
+
+
+def format_table(rows, columns, title=""):
+    """Markdown table from {name: metrics-dict} rows."""
+    lines = []
+    if title:
+        lines.append(f"### {title}")
+        lines.append("")
+    header = "| controller | " + " | ".join(columns) + " |"
+    sep = "|" + "---|" * (len(columns) + 1)
+    lines.append(header)
+    lines.append(sep)
+    for name, m in rows.items():
+        cells = []
+        for c in columns:
+            v = m.get(c)
+            cells.append("—" if v is None else f"{v:.3f}")
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    return "\n".join(lines)

@@ -33,7 +33,7 @@ def _feedforward_apply(net_params, carry, in_state, in_ref):
     jax.jit,
     static_argnames=(
         "dyn_step", "horizon", "max_steps", "dt", "test_time",
-        "net_apply", "window_len",
+        "net_apply", "window_len", "action_transform",
     ),
 )
 def follow_trajectories(
@@ -51,6 +51,7 @@ def follow_trajectories(
     net_apply=_feedforward_apply,
     net_carry=None,
     window_len=None,
+    action_transform=jax.nn.sigmoid,
 ):
     """Roll out the controller on a batch of reference trajectories.
 
@@ -85,7 +86,7 @@ def follow_trajectories(
         )(references)
         in_state, _, in_ref, _ = quad_prepare_data(state, window)
         nc, logits = net_apply(net_params, nc, in_state, in_ref[:, :horizon])
-        actions = jax.nn.sigmoid(logits).reshape(n_test, -1, 4)
+        actions = action_transform(logits).reshape(n_test, -1, 4)
         new_state = dyn_step(dyn_params, state, actions[:, 0], dt)
 
         stable = quad_is_stable(new_state, thresh_stable)
@@ -197,6 +198,7 @@ def run_eval(
     net_carry=None,
     window_len=None,
     mesh=None,
+    action_transform=jax.nn.sigmoid,
 ):
     """Aggregate eval metrics (run_eval, evaluate_drone.py:237-300).
 
@@ -229,7 +231,7 @@ def run_eval(
         thresh_div=thresh_div, thresh_stable=thresh_stable,
         dyn_step=dyn_step, horizon=horizon, max_steps=max_steps, dt=dt,
         test_time=test_time, net_apply=net_apply, net_carry=net_carry,
-        window_len=window_len,
+        window_len=window_len, action_transform=action_transform,
     )
     if roll["divergences"].shape[0] != n_req:
         roll = {k: v[:n_req] for k, v in roll.items()}

@@ -188,6 +188,7 @@ class TrainQuad:
         tensorboard=False,
         minjerk_mix=0.0,
         mesh=None,
+        dyn_step=quad_step,
     ):
         self.config = cfg = dict(config or load_config("quad"))
         if train_mode is not None:
@@ -292,14 +293,17 @@ class TrainQuad:
         self.eval_dyn = replicate(self.mesh, self.eval_dyn)
         self._shard_buffers()
 
+        # custom dyn_step supports e.g. action-space ablations (DESIGN.md
+        # speed-0.5 analysis) and learnt-dynamics variants
+        self.dyn_step = dyn_step
         if self.mode == "concurrent":
             step = build_concurrent_step(
-                quad_step, self.optimizer, self.dt, self.horizon,
+                dyn_step, self.optimizer, self.dt, self.horizon,
                 self.action_dim,
             )
         else:
             step = build_recurrent_step(
-                quad_step, self.optimizer, self.dt, self.horizon,
+                dyn_step, self.optimizer, self.dt, self.horizon,
                 self.action_dim, lstm=(self.mode == "LSTM"),
             )
         self._train_epoch = make_sharded_epoch(self.mesh, step)
@@ -365,7 +369,7 @@ class TrainQuad:
             self.net, self.eval_dyn, refs, ref_len,
             thresh_div=self.thresh_div, thresh_stable=self.thresh_stable,
             horizon=self.horizon, dt=self.dt, test_time=test_time,
-            mesh=self.mesh, **eval_kwargs,
+            mesh=self.mesh, dyn_step=self.dyn_step, **eval_kwargs,
         )
         if not test_time:
             self._self_play_insert(roll)

@@ -5,6 +5,15 @@ Measures the full concurrent training step (featurize -> controller MLP ->
 10-step differentiable-dynamics unroll -> MPC loss -> BPTT -> SGD update) at
 4096 environments, the primary metric of BASELINE.json. Prints ONE JSON line.
 
+Besides wall-clock, the line carries the roofline story (VERDICT r1 #3):
+per-step FLOPs and HBM bytes from XLA's compiled cost analysis, MFU against
+the chip's bf16 peak (the standard MFU convention; the step math is fp32),
+HBM bandwidth utilization against peak, and the regime the step sits in —
+at batch 4096 / 16k / 64k. The 12-wide states and 64-neuron controller make
+this step HBM-bandwidth-bound: arithmetic intensity sits far below the
+chip's ridge point, so batch scaling moves throughput until bandwidth
+saturates, and "faster" means moving fewer bytes, not more FLOP/s.
+
 vs_baseline compares against the reference PyTorch implementation's
 training throughput measured on this container's CPU at the SAME batch size
 (BASELINE_MEASURED.json; the reference's own default config is batch 8,
@@ -31,6 +40,112 @@ from apg_trajectory_tracking_tpu.training.train_quad import (
 
 BATCH = 4096
 HORIZON = 10
+ROOFLINE_BATCHES = (4096, 16384, 65536)
+
+# (peak bf16 FLOP/s, peak HBM bytes/s) per chip; first substring match wins.
+# Sources: public TPU spec sheets (v5e 197 TF bf16 / 819 GB/s, v5p 459 TF /
+# 2765 GB/s, v4 275 TF / 1228 GB/s, v6e 918 TF / 1640 GB/s).
+PEAKS = (
+    ("v5 lite", (197e12, 819e9)),
+    ("v5e", (197e12, 819e9)),
+    ("v5p", (459e12, 2765e9)),
+    ("v5", (459e12, 2765e9)),
+    ("v4", (275e12, 1228e9)),
+    ("v6 lite", (918e12, 1640e9)),
+    ("v6e", (918e12, 1640e9)),
+)
+
+
+def chip_peaks():
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in PEAKS:
+        if key in kind:
+            return peaks
+    return None, None
+
+
+def make_run_iters(step, dyn, iters):
+    # The production epoch loop runs all minibatch steps inside ONE jitted
+    # lax.scan dispatch (parallel/mesh.py make_sharded_epoch), so the
+    # benchmark iterates on device too — a per-step host dispatch would
+    # measure the axon tunnel's round-trip latency, not the chip.
+    @jax.jit
+    def run_iters(net, opt_state, states, refs):
+        def body(carry, _):
+            n, o = carry
+            n, o, loss = step(n, o, dyn, states, refs)
+            return (n, o), loss
+
+        (net, opt_state), losses = jax.lax.scan(
+            body, (net, opt_state), None, length=iters
+        )
+        return net, opt_state, losses[-1]
+
+    return run_iters
+
+
+def cost_of(compiled, iters, dt, peak_flops):
+    """(flops, bytes) per train step from the iterated-scan executable's
+    cost analysis. XLA counts a lax.scan body ONCE regardless of trip
+    count (verified against a separately compiled single step: 138.4 MB vs
+    141.0 MB at batch 4096), so the program total IS one step's cost. If a
+    future XLA multiplies by trip count, the implied FLOP/s would exceed
+    the chip's physical peak — normalize by ``iters`` in that case."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        hbm_bytes = float(ca.get("bytes accessed", 0.0))
+        if flops <= 0 or hbm_bytes <= 0:
+            return None, None
+        if peak_flops is not None and flops / dt > 2 * peak_flops:
+            flops /= iters
+            hbm_bytes /= iters
+        return flops, hbm_bytes
+    except Exception:
+        return None, None
+
+
+def measure(step, dyn, net, opt_state, batch, iters, repeats, peak_flops):
+    rng = np.random.RandomState(0)
+    states = jnp.asarray(rng.randn(batch, 12).astype(np.float32) * 0.3)
+    refs = jnp.asarray(
+        rng.randn(batch, HORIZON, 9).astype(np.float32) * 0.3
+    )
+    run_iters = make_run_iters(step, dyn, iters)
+    compiled = run_iters.lower(net, opt_state, states, refs).compile()
+    n, o, loss = compiled(net, opt_state, states, refs)
+    jax.block_until_ready(loss)
+    dt = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        n, o, loss = compiled(net, opt_state, states, refs)
+        jax.block_until_ready(loss)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
+    flops, hbm_bytes = cost_of(compiled, iters, dt, peak_flops)
+    return dt, flops, hbm_bytes
+
+
+def roofline_entry(dt, flops, hbm_bytes, peak_flops, peak_bw, batch):
+    entry = {
+        "time_per_step_ms": round(dt * 1e3, 4),
+        "env_steps_per_s": round(batch * HORIZON / dt, 1),
+    }
+    if flops is not None:
+        entry["flops_per_step"] = flops
+        entry["hbm_bytes_per_step"] = hbm_bytes
+        entry["arithmetic_intensity_flop_per_byte"] = round(
+            flops / hbm_bytes, 3
+        )
+    if flops is not None and peak_flops is not None:
+        ridge = peak_flops / peak_bw
+        entry["mfu"] = round(flops / dt / peak_flops, 5)
+        entry["hbm_bw_util"] = round(hbm_bytes / dt / peak_bw, 4)
+        entry["regime"] = (
+            "memory-bound" if flops / hbm_bytes < ridge else "compute-bound"
+        )
+    return entry
 
 
 def main():
@@ -39,42 +154,27 @@ def main():
     optimizer = sgd_momentum(1e-5)
     opt_state = optimizer.init(net)
     dyn = quad_params()
-
     step = build_concurrent_step(quad_step, optimizer, 0.1, HORIZON, 4)
 
-    rng = np.random.RandomState(0)
-    states = jnp.asarray(rng.randn(BATCH, 12).astype(np.float32) * 0.3)
-    refs = jnp.asarray(rng.randn(BATCH, HORIZON, 9).astype(np.float32) * 0.3)
+    peak_flops, peak_bw = chip_peaks()
 
-    iters = 50
-
-    # The production epoch loop runs all minibatch steps inside ONE jitted
-    # lax.scan dispatch (training/common.py epoch_scan), so the benchmark
-    # iterates on device too — a per-step host dispatch would measure the
-    # axon tunnel's round-trip latency, not the chip.
-    @jax.jit
-    def run_iters(net, opt_state, states, refs):
-        def body(carry, _):
-            n, o = carry
-            n, o, loss = step(n, o, dyn, states, refs)
-            return (n, o), loss
-        (net, opt_state), losses = jax.lax.scan(
-            body, (net, opt_state), None, length=iters
+    roofline = {}
+    primary = None
+    for batch in ROOFLINE_BATCHES:
+        # fewer on-device iterations at the big batches keeps total bench
+        # time bounded without changing the per-step measurement
+        iters = 50 if batch <= 4096 else 20
+        repeats = 8 if batch <= 4096 else 4
+        dt, flops, hbm_bytes = measure(
+            step, dyn, net, opt_state, batch, iters, repeats, peak_flops
         )
-        return net, opt_state, losses[-1]
+        roofline[str(batch)] = roofline_entry(
+            dt, flops, hbm_bytes, peak_flops, peak_bw, batch
+        )
+        if batch == BATCH:
+            primary = roofline[str(batch)]
 
-    # warmup / compile
-    net, opt_state, loss = run_iters(net, opt_state, states, refs)
-    jax.block_until_ready(loss)
-
-    dt = np.inf
-    for _ in range(8):
-        t0 = time.perf_counter()
-        net, opt_state, loss = run_iters(net, opt_state, states, refs)
-        jax.block_until_ready(loss)
-        dt = min(dt, (time.perf_counter() - t0) / iters)
-
-    env_steps_per_s = BATCH * HORIZON / dt
+    env_steps_per_s = primary["env_steps_per_s"]
 
     baseline = 199651.0
     meas_path = os.path.join(
@@ -84,16 +184,20 @@ def main():
         with open(meas_path) as f:
             baseline = float(json.load(f)["baseline_for_vs_ratio"])
 
-    print(
-        json.dumps(
-            {
-                "metric": "quad_apg_train_env_steps_per_s_per_chip",
-                "value": round(env_steps_per_s, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(env_steps_per_s / baseline, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "quad_apg_train_env_steps_per_s_per_chip",
+        "value": env_steps_per_s,
+        "unit": "env-steps/s",
+        "vs_baseline": round(env_steps_per_s / baseline, 2),
+        "device_kind": jax.devices()[0].device_kind,
+        "peak_bf16_flops": peak_flops,
+        "peak_hbm_bw": peak_bw,
+        "mfu": primary.get("mfu"),
+        "hbm_bw_util": primary.get("hbm_bw_util"),
+        "regime": primary.get("regime"),
+        "roofline": roofline,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,382 @@
+#!/usr/bin/env python
+"""Head-to-head baseline comparison on the tracking metric (VERDICT r1 #2).
+
+Evaluates every quad controller family through the SAME evaluator, metric,
+and test trajectories (the reference does this for its PPO policy via
+``baselines/ppo_baseline.py:322-340`` -> ``evaluate_drone.run_eval``):
+
+  APG (analytic policy gradient nets) | MPC (Adam shooting) | MPC (iLQR)
+  | PPO (pure-JAX, trained on the same env)
+
+Protocol: ``--eval`` distinct test trajectories (default 50, drawn without
+replacement from the full 100-trajectory test bank in data/traj_data_full),
+speed factor 0.4, thresh_div 1.0, test-time semantics (break on
+divergence), max 251 steps. Emits a markdown table + JSON.
+
+Optionally ``--cartpole`` adds the cartpole table: APG vs MPC vs PPO vs
+PETS on the balance protocol (steps balanced <= 250, mean |velocity|).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUAD_COLUMNS = (
+    "mean_divergence", "std_divergence", "ratio_stable", "mean_success",
+)
+
+
+def quad_references(data_dir, n_eval, dt, speed, seed=42):
+    import numpy as np
+
+    from apg_trajectory_tracking_tpu.trajectory.generate import (
+        ensure_trajectory_bank,
+        load_trajectory_bank,
+        prepare_trajectory,
+    )
+
+    bank = load_trajectory_bank(ensure_trajectory_bank(data_dir), test=True)
+    rng = np.random.RandomState(seed)
+    n = min(n_eval, len(bank))
+    idx = rng.choice(len(bank), size=n, replace=False)  # DISTINCT trajs
+    refs = np.stack([prepare_trajectory(bank[i], dt, speed) for i in idx])
+    refs[:, :, 2] += 3.0
+    return refs, n
+
+
+def eval_apg(model_dir, references, horizon_steps, thresh_div):
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import run_eval
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from evaluate_quad import load_quad_controller, eval_kwargs_for
+
+    net, cfg = load_quad_controller(model_dir)
+    metrics, _ = run_eval(
+        net, quad_params(), jnp.asarray(references),
+        references.shape[1] - cfg["horizon"],
+        thresh_div=thresh_div, thresh_stable=1.0,
+        horizon=cfg["horizon"], dt=cfg["delta_t"], test_time=True,
+        **eval_kwargs_for(cfg, references.shape[0]),
+    )
+    return metrics
+
+
+def eval_mpc(solver, references, dt, horizon, thresh_div, n_iters=None):
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.controllers.mpc import (
+        MPC,
+        _make_solver,
+    )
+    from apg_trajectory_tracking_tpu.dynamics.quad import (
+        quad_params,
+        quad_step,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.compare import (
+        mpc_follow_trajectories,
+        tracking_metrics,
+    )
+
+    mpc = MPC(horizon=horizon, dt=dt, dynamics="flightmare",
+              solver=solver, n_iters=n_iters)
+    ref_len = references.shape[1] - horizon
+    roll = mpc_follow_trajectories(
+        mpc._solve, quad_params(), jnp.asarray(references), ref_len,
+        thresh_div=thresh_div, thresh_stable=1.0, dyn_step=quad_step,
+        horizon=horizon, dt=dt,
+    )
+    return tracking_metrics(roll, thresh_div, ref_len)
+
+
+def eval_ppo(
+    ppo_dir, references, dt, horizon, thresh_div, speed,
+    train_if_missing=False, timesteps=2_000_000, data_dir="data/traj_data",
+):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.baselines import rl_envs
+    from apg_trajectory_tracking_tpu.baselines.ppo import (
+        PPOConfig,
+        init_actor_critic,
+        train_ppo,
+    )
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+    from apg_trajectory_tracking_tpu.evaluation.compare import (
+        ppo_net_apply,
+        ppo_action_transform,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import run_eval
+    from apg_trajectory_tracking_tpu.trajectory.generate import (
+        ensure_trajectory_bank,
+        load_trajectory_bank,
+        prepare_trajectory,
+    )
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    obs_dim = 15 + horizon * 9
+    ckpt = os.path.join(ppo_dir, "model_ppo.npz")
+    if os.path.exists(ckpt):
+        params = load_checkpoint(
+            ppo_dir, "model_ppo",
+            init_actor_critic(jax.random.PRNGKey(0), obs_dim, 4),
+        )
+    elif train_if_missing:
+        # train on the SAME speed as the eval protocol so the comparison
+        # is apples-to-apples (the reference trains its quad PPO at its
+        # env's speed and evaluates at that speed, ppo_baseline.py:422-427)
+        bank = load_trajectory_bank(ensure_trajectory_bank(data_dir))
+        prepared = np.stack(
+            [prepare_trajectory(t, dt, speed) for t in bank[:64]]
+        )
+        reset_fn, step_fn, obs_dim, act_dim = rl_envs.make_quad_rl(
+            quad_params(), jnp.asarray(prepared)
+        )
+        params, _ = train_ppo(
+            reset_fn, step_fn, obs_dim, act_dim,
+            total_timesteps=timesteps, cfg=PPOConfig(n_envs=32),
+        )
+        save_checkpoint(ppo_dir, "model_ppo", params,
+                        {"robot": "quad", "timesteps": timesteps,
+                         "speed_factor": speed})
+    else:
+        return None
+
+    metrics, _ = run_eval(
+        params, quad_params(), jnp.asarray(references),
+        references.shape[1] - horizon,
+        thresh_div=thresh_div, thresh_stable=1.0, horizon=horizon, dt=dt,
+        test_time=True, net_apply=ppo_net_apply,
+        action_transform=ppo_action_transform,
+    )
+    return metrics
+
+
+def cartpole_table(args):
+    """APG vs MPC vs PPO vs PETS on the balance protocol: identical
+    near-upright start states, steps-upright (<=250) + mean |velocity|."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.baselines.pets import (
+        PETS,
+        cartpole_reward,
+        eval_pets_balance,
+        run_pets_cartpole,
+    )
+    from apg_trajectory_tracking_tpu.baselines.ppo import (
+        PPOConfig,
+        init_actor_critic,
+        train_ppo,
+    )
+    from apg_trajectory_tracking_tpu.baselines import rl_envs
+    from apg_trajectory_tracking_tpu.controllers.mpc import MPC
+    from apg_trajectory_tracking_tpu.dynamics.cartpole import cartpole_params
+    from apg_trajectory_tracking_tpu.envs.cartpole_env import reset_upright
+    from apg_trajectory_tracking_tpu.evaluation.cartpole_eval import (
+        evaluate_balance,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.compare import (
+        eval_cartpole_ppo_balance,
+        make_cartpole_mpc_apply,
+    )
+    from apg_trajectory_tracking_tpu.models import init_cartpole_net
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    dyn = cartpole_params()
+    n = args.cartpole_eval
+    starts = reset_upright(jax.random.PRNGKey(7), n)
+    rows = {}
+
+    net = load_checkpoint(
+        "assets/cartpole_trained", "model_cartpole",
+        init_cartpole_net(jax.random.PRNGKey(0), 4, 10),
+    )
+    rows["APG cartpole_trained"] = {
+        k: float(v)
+        for k, v in evaluate_balance(net, dyn, states=starts).items()
+    }
+    print("APG", json.dumps(rows["APG cartpole_trained"]))
+
+    mpc = MPC(horizon=10, dt=0.05, dynamics="cartpole")
+    rows["MPC (adam)"] = {
+        k: float(v)
+        for k, v in evaluate_balance(
+            None, dyn, states=starts,
+            net_apply=make_cartpole_mpc_apply(mpc),
+        ).items()
+    }
+    print("MPC", json.dumps(rows["MPC (adam)"]))
+
+    ppo_dir = "trained_models/cartpole/ppo_compare"
+    obs_dim = 15
+    if os.path.exists(os.path.join(ppo_dir, "model_ppo.npz")):
+        ppo_params = load_checkpoint(
+            ppo_dir, "model_ppo",
+            init_actor_critic(jax.random.PRNGKey(0), obs_dim, 1),
+        )
+    else:
+        reset_fn, step_fn, od, ad = rl_envs.make_cartpole_rl(dyn)
+        ppo_params, _ = train_ppo(
+            reset_fn, step_fn, od, ad, total_timesteps=500_000,
+            cfg=PPOConfig(n_envs=16),
+        )
+        save_checkpoint(ppo_dir, "model_ppo", ppo_params,
+                        {"robot": "cartpole", "timesteps": 500_000})
+    rows["PPO (500k)"] = eval_cartpole_ppo_balance(ppo_params, dyn, starts)
+    print("PPO", json.dumps(rows["PPO (500k)"]))
+
+    pets_dir = "trained_models/cartpole/pets"
+    if os.path.exists(os.path.join(pets_dir, "model_pets.npz")):
+        agent = PETS(
+            state_dim=4, act_dim=1, reward_fn=cartpole_reward,
+            act_low=-1.0, act_high=1.0, horizon=10,
+            population=150, n_elites=15, n_particles=5, n_iters=5,
+        )
+        agent.model = load_checkpoint(pets_dir, "model_pets", agent.model)
+        tag = "PETS (saved)"
+    else:
+        agent, _ = run_pets_cartpole(
+            trials=args.pets_trials, verbose=False
+        )
+        tag = f"PETS ({args.pets_trials} trials)"
+    rows[tag] = eval_pets_balance(agent, dyn, starts)
+    print("PETS", json.dumps(rows[tag]))
+    return rows, n
+
+
+CARTPOLE_COLUMNS = ("mean_stable", "std_stable", "mean_vel")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-a", "--eval", type=int, default=50,
+                        help="number of distinct test trajectories")
+    parser.add_argument("--speed", type=float, default=0.4)
+    parser.add_argument("--data_dir", default="data/traj_data_full",
+                        help="bank with a >=--eval-file test split")
+    parser.add_argument("--apg", nargs="*",
+                        default=["assets/quad_trained",
+                                 "assets/quad_minjerk_trained"],
+                        help="APG checkpoints to include")
+    parser.add_argument("--ppo_dir", default="trained_models/quad/ppo_compare")
+    parser.add_argument("--train_ppo", action="store_true",
+                        help="train quad PPO if no checkpoint exists")
+    parser.add_argument("--timesteps", type=int, default=2_000_000,
+                        help="PPO training budget (reference: 2M)")
+    parser.add_argument("--skip_mpc", action="store_true")
+    parser.add_argument("--skip_quad", action="store_true")
+    parser.add_argument("--cartpole", action="store_true",
+                        help="also build the cartpole balance table "
+                             "(APG vs MPC vs PPO vs PETS)")
+    parser.add_argument("--cartpole_eval", type=int, default=10)
+    parser.add_argument("--pets_trials", type=int, default=200,
+                        help="PETS training budget if no saved ensemble "
+                             "(reference: 200)")
+    parser.add_argument("--out", default=None,
+                        help="also write the table + json here")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
+
+    from apg_trajectory_tracking_tpu.evaluation.compare import format_table
+
+    if args.skip_quad:
+        rows_cp, n_cp = cartpole_table(args)
+        table = format_table(
+            rows_cp, CARTPOLE_COLUMNS,
+            title=f"Cartpole balance, {n_cp} shared near-upright starts "
+                  "(max 250 steps)",
+        )
+        print()
+        print(table)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(table + "\n\n```json\n"
+                        + json.dumps(rows_cp, indent=1) + "\n```\n")
+        return
+
+    dt, horizon, thresh_div = 0.1, 10, 1.0
+    references, n = quad_references(
+        args.data_dir, args.eval, dt, args.speed
+    )
+    print(f"protocol: {n} distinct test trajectories, speed {args.speed}, "
+          f"thresh_div {thresh_div}, test-time break")
+
+    rows = {}
+    for model_dir in args.apg:
+        name = "APG " + os.path.basename(model_dir.rstrip("/"))
+        rows[name] = eval_apg(model_dir, references, horizon, thresh_div)
+        print(name, json.dumps(rows[name]))
+    if not args.skip_mpc:
+        for solver in ("adam", "ilqr"):
+            name = f"MPC ({solver})"
+            rows[name] = eval_mpc(
+                solver, references, dt, horizon, thresh_div
+            )
+            print(name, json.dumps(rows[name]))
+    ppo_metrics = eval_ppo(
+        args.ppo_dir, references, dt, horizon, thresh_div, args.speed,
+        train_if_missing=args.train_ppo, timesteps=args.timesteps,
+    )
+    if ppo_metrics is not None:
+        rows["PPO"] = ppo_metrics
+        print("PPO", json.dumps(ppo_metrics))
+    else:
+        print("PPO: no checkpoint at", args.ppo_dir,
+              "(pass --train_ppo to train one)")
+
+    table = format_table(
+        rows, QUAD_COLUMNS,
+        title=f"Quadrotor tracking, {n} distinct test trajectories "
+              f"(speed {args.speed})",
+    )
+    print()
+    print(table)
+
+    extra = ""
+    if args.cartpole:
+        rows_cp, n_cp = cartpole_table(args)
+        cp_table = format_table(
+            rows_cp, CARTPOLE_COLUMNS,
+            title=f"Cartpole balance, {n_cp} shared near-upright starts "
+                  "(max 250 steps)",
+        )
+        print()
+        print(cp_table)
+        extra = "\n\n" + cp_table + "\n\n```json\n" + json.dumps(
+            rows_cp, indent=1
+        ) + "\n```"
+
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(table + "\n\n```json\n"
+                    + json.dumps(rows, indent=1) + "\n```" + extra + "\n")
+
+
+if __name__ == "__main__":
+    main()

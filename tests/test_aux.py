@@ -99,8 +99,15 @@ def test_plotting_smoke(tmp_path):
     drone = rng.randn(50, 12)
     plot_trajectory_3d(ref, drone, str(tmp_path / "traj.png"))
     animate_quad(ref, [drone], savefile=str(tmp_path / "anim.gif"))
-    for f in ("loss.png", "succ.png", "traj.png", "anim.gif"):
-        assert (tmp_path / f).exists()
+    from apg_trajectory_tracking_tpu.utils.plotting import animate_fixed_wing
+
+    animate_fixed_wing(
+        [np.array([50.0, 2.0, -1.0])], [drone[:, :3]],
+        savefile=str(tmp_path / "wing.gif"),
+    )
+    for f in ("loss.png", "succ.png", "traj.png", "anim.gif", "wing.gif"):
+        # a real (non-empty) video export, not just file creation
+        assert (tmp_path / f).stat().st_size > 1000
 
 
 def test_min_jerk_matches_reference_planner():
