@@ -286,7 +286,7 @@ class PETS:
 
 
 def run_pets_cartpole(trials=200, trial_length=200, seed=0, dt=0.05,
-                      verbose=True):
+                      verbose=True, on_trial=None):
     """The reference's PETS cartpole protocol (pets_baseline.py:63-65,
     156-162, 255-330): one random-action exploration trial, then
     ``trials`` trials of (train ensemble -> plan with CEM each step),
@@ -343,6 +343,9 @@ def run_pets_cartpole(trials=200, trial_length=200, seed=0, dt=0.05,
         if verbose:
             print(f"trial {trial}: reward {total:.1f} steps {step_i + 1} "
                   f"model loss {loss:.2f}")
+        if on_trial is not None:
+            # periodic persistence hook (long runs survive interruption)
+            on_trial(trial, agent, rewards_per_trial)
     return agent, rewards_per_trial
 
 

@@ -38,19 +38,25 @@ def main():
     )
     from apg_trajectory_tracking_tpu.utils.checkpoints import save_checkpoint
 
-    agent, rewards_per_trial = run_pets_cartpole(
-        trials=args.trials, trial_length=args.trial_length, seed=args.seed,
-    )
-
     save_path = os.path.join("trained_models", "cartpole", args.save_name)
     os.makedirs(save_path, exist_ok=True)
-    with open(os.path.join(save_path, "pets_rewards.json"), "w") as f:
-        json.dump(rewards_per_trial, f)
-    # ensemble checkpoint so eval tooling (compare_baselines --cartpole)
-    # can reload the trained model
-    save_checkpoint(save_path, "model_pets", agent.model,
-                    {"trials": args.trials,
-                     "trial_length": args.trial_length})
+
+    def persist(trial, agent, rewards):
+        if (trial + 1) % 10 != 0:
+            return
+        with open(os.path.join(save_path, "pets_rewards.json"), "w") as f:
+            json.dump(rewards, f)
+        # ensemble checkpoint so eval tooling (compare_baselines
+        # --cartpole) can reload the trained model
+        save_checkpoint(save_path, "model_pets", agent.model,
+                        {"trials": trial + 1,
+                         "trial_length": args.trial_length})
+
+    agent, rewards_per_trial = run_pets_cartpole(
+        trials=args.trials, trial_length=args.trial_length, seed=args.seed,
+        on_trial=persist,
+    )
+    persist(9, agent, rewards_per_trial)  # final write regardless of count
     print("saved to", save_path)
 
 
