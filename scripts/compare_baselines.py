@@ -202,15 +202,20 @@ def cartpole_table(args):
     starts = reset_upright(jax.random.PRNGKey(7), n)
     rows = {}
 
-    net = load_checkpoint(
-        "assets/cartpole_trained", "model_cartpole",
-        init_cartpole_net(jax.random.PRNGKey(0), 4, 10),
-    )
-    rows["APG cartpole_trained"] = {
-        k: float(v)
-        for k, v in evaluate_balance(net, dyn, states=starts).items()
-    }
-    print("APG", json.dumps(rows["APG cartpole_trained"]))
+    for model_dir in ("assets/cartpole_trained",
+                      "assets/cartpole_balance_trained"):
+        if not os.path.exists(os.path.join(model_dir, "config.json")):
+            continue
+        net = load_checkpoint(
+            model_dir, "model_cartpole",
+            init_cartpole_net(jax.random.PRNGKey(0), 4, 10),
+        )
+        name = "APG " + os.path.basename(model_dir)
+        rows[name] = {
+            k: float(v)
+            for k, v in evaluate_balance(net, dyn, states=starts).items()
+        }
+        print(name, json.dumps(rows[name]))
 
     mpc = MPC(horizon=10, dt=0.05, dynamics="cartpole")
     rows["MPC (adam)"] = {
