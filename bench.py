@@ -9,10 +9,13 @@ Besides wall-clock, the line carries the roofline story (VERDICT r1 #3):
 per-step FLOPs and HBM bytes from XLA's compiled cost analysis, MFU against
 the chip's bf16 peak (the standard MFU convention; the step math is fp32),
 HBM bandwidth utilization against peak, and the regime the step sits in —
-at batch 4096 / 16k / 64k. The 12-wide states and 64-neuron controller make
-this step HBM-bandwidth-bound: arithmetic intensity sits far below the
-chip's ridge point, so batch scaling moves throughput until bandwidth
-saturates, and "faster" means moving fewer bytes, not more FLOP/s.
+at batch 4096 / 16k / 64k. Arithmetic intensity sits ~50x below the
+chip's ridge point, so the MXU is irrelevant and batch scaling is the
+lever. Caveats established by experiment (DESIGN.md section 2): XLA's
+bytes-accessed is an upper bound on true DRAM traffic — at 64k the
+counter reads ~100% of peak BW, yet halving bytes (bf16) leaves
+wall-clock flat, so the actual 64k ceiling is VPU issue rate on the
+12-wide elementwise chains. Treat hbm_bw_util as nominal.
 
 vs_baseline compares against the reference PyTorch implementation's
 training throughput measured on this container's CPU at the SAME batch size
