@@ -1,0 +1,101 @@
+"""End-user CLI smoke tests: the eval scripts run against shipped assets
+exactly as a reference user would invoke them (monkeypatched argv; CPU
+backend is already forced by conftest)."""
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+def _run(module, argv, monkeypatch, capsys, cwd=REPO):
+    import importlib
+
+    mod = importlib.import_module(module)
+    monkeypatch.setattr(sys, "argv", argv)
+    monkeypatch.chdir(cwd)
+    mod.main()
+    return capsys.readouterr().out
+
+
+def test_evaluate_quad_rand(monkeypatch, capsys):
+    out = _run(
+        "evaluate_quad",
+        ["evaluate_quad.py", "-m", "assets/quad_trained", "-a", "4"],
+        monkeypatch, capsys,
+    )
+    metrics = json.loads(out[out.rindex("{"):])
+    assert 0 < metrics["mean_divergence"] < 1.0
+    assert 0.0 <= metrics["ratio_stable"] <= 1.0
+
+
+def test_evaluate_quad_analytic_circle(monkeypatch, capsys):
+    out = _run(
+        "evaluate_quad",
+        ["evaluate_quad.py", "-m", "assets/quad_minjerk_trained", "-a", "2",
+         "-r", "circle"],
+        monkeypatch, capsys,
+    )
+    assert "circle: avg divergence" in out
+
+
+def test_evaluate_quad_animate(monkeypatch, capsys, tmp_path):
+    gif = str(tmp_path / "flight.gif")
+    out = _run(
+        "evaluate_quad",
+        ["evaluate_quad.py", "-m", "assets/quad_trained", "-a", "2",
+         "--animate", gif],
+        monkeypatch, capsys,
+    )
+    assert os.path.getsize(gif) > 1000
+    assert "animation saved" in out
+
+
+def test_evaluate_cartpole(monkeypatch, capsys):
+    out = _run(
+        "evaluate_cartpole",
+        ["evaluate_cartpole.py", "-m", "assets/cartpole_balance_trained",
+         "-a", "4"],
+        monkeypatch, capsys,
+    )
+    metrics = json.loads(out[out.rindex("{"):])
+    assert metrics["mean_stable"] > 200
+
+
+def test_evaluate_wing(monkeypatch, capsys):
+    out = _run(
+        "evaluate_wing",
+        ["evaluate_wing.py", "-m", "assets/wing_trained", "-a", "3"],
+        monkeypatch, capsys,
+    )
+    metrics = json.loads(out[out.rindex("{"):])
+    assert metrics["mean_success"] < 1.0  # meters from target
+
+
+def test_evaluate_epochs(monkeypatch, capsys, tmp_path):
+    """Train a 3-epoch smoke run (producing epoch snapshots), then sweep
+    its checkpoints to csv."""
+    from apg_trajectory_tracking_tpu.training.common import load_config
+    from apg_trajectory_tracking_tpu.training.train_quad import TrainQuad
+
+    monkeypatch.chdir(tmp_path)
+    os.symlink(os.path.join(REPO, "data"), "data")
+    cfg = load_config(
+        "quad", dict(epoch_size=32, self_play=0.5, nr_epochs=3),
+        config_dir=os.path.join(REPO, "configs"),
+    )
+    TrainQuad(config=cfg, seed=0, save_name="sweeptest").fit(
+        3, nr_test=4, verbose=False
+    )
+    model_dir = os.path.join("trained_models", "quad", "sweeptest")
+    out = _run(
+        "evaluate_epochs",
+        ["evaluate_epochs.py", "-m", model_dir, "-a", "2"],
+        monkeypatch, capsys, cwd=tmp_path,
+    )
+    assert os.path.exists(os.path.join(model_dir, "epoch_sweep.csv")) \
+        or "epoch" in out
