@@ -90,16 +90,25 @@ def save_train_state(save_dir, name, net, opt_state, config=None):
 def restore_train_state(save_dir, name, net_template, opt_template=None):
     """Restore (net, opt_state, config) saved by :func:`save_train_state`.
 
-    Falls back gracefully: missing ``<name>_opt.npz`` returns the template
-    optimizer state (fresh momentum), so plain model checkpoints — including
-    reference-converted ones — also work as ``base_model``.
+    Falls back gracefully: a missing ``<name>_opt.npz`` — or one whose
+    structure doesn't match the template (e.g. the checkpoint was trained
+    with a different optimizer, like the Adam-based MPC distillation) —
+    returns the template optimizer state (fresh momentum), so plain model
+    checkpoints, including reference-converted ones, also work as
+    ``base_model``.
     """
     net = load_checkpoint(save_dir, name, net_template)
     opt_state = opt_template
     if opt_template is not None and os.path.exists(
         os.path.join(save_dir, f"{name}_opt.npz")
     ):
-        opt_state = load_checkpoint(save_dir, f"{name}_opt", opt_template)
+        try:
+            opt_state = load_checkpoint(
+                save_dir, f"{name}_opt", opt_template
+            )
+        except KeyError:
+            print(f"{name}_opt.npz structure doesn't match this "
+                  "optimizer; starting with fresh optimizer state")
     cfg = {}
     if os.path.exists(os.path.join(save_dir, "config.json")):
         cfg = load_config(save_dir)

@@ -1,0 +1,270 @@
+#!/usr/bin/env python
+"""MPC distillation: supervise the quad controller on batched in-graph MPC
+solutions, then (optionally) fine-tune with the standard APG objective.
+
+The reference cannot do this — its IPOPT solves ~30 OCPs/s on a CPU core,
+so labeling a dataset is impractical. Here the vmapped Adam-shooting solve
+labels thousands of (state, reference-window) pairs per second on one
+chip, turning the MPC baseline into a teacher:
+
+    1. sample (state, window) pairs from the trajectory bank (the same
+       sampler the APG trainer uses) at the target speed;
+    2. label each with the full horizon action sequence from the MPC solve
+       (cold start, the solver's own cost);
+    3. regress the controller net onto the labels (sigmoid-space MSE,
+       Adam);
+    4. DAgger rounds (--dagger_iters): roll the student out closed-loop on
+       training trajectories, relabel every visited (state, window) pair
+       with the MPC teacher in one vmapped solve, grow the dataset, and
+       keep training — fixing the compounding-error distribution shift
+       that plain behavior cloning suffers;
+    5. optionally continue with standard APG training from the distilled
+       weights (--apg_epochs).
+
+Evaluates on distinct test trajectories after each stage.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n_pairs", type=int, default=8000)
+    parser.add_argument("--speed", type=float, default=0.4)
+    parser.add_argument("--steps", type=int, default=4000,
+                        help="supervised Adam steps")
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--dagger_iters", type=int, default=3)
+    parser.add_argument("--dagger_rollouts", type=int, default=20,
+                        help="student rollouts per DAgger round")
+    parser.add_argument("--apg_epochs", type=int, default=0,
+                        help="APG fine-tune epochs after distillation")
+    parser.add_argument("--eval", type=int, default=50)
+    parser.add_argument("-s", "--save_name", default="mpc_distilled")
+    parser.add_argument("--data_dir", default="data/traj_data_full")
+    parser.add_argument("--mpc_iters", type=int, default=50)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from apg_trajectory_tracking_tpu.controllers.mpc import MPC
+    from apg_trajectory_tracking_tpu.data.dataset import quad_prepare_data
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+    from apg_trajectory_tracking_tpu.envs.quad_env import (
+        full_state_training_data,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import run_eval
+    from apg_trajectory_tracking_tpu.models import (
+        control_net_apply,
+        init_control_net,
+    )
+    from apg_trajectory_tracking_tpu.trajectory.generate import (
+        ensure_trajectory_bank,
+        load_trajectory_bank,
+        prepare_trajectory,
+    )
+    from apg_trajectory_tracking_tpu.utils.checkpoints import save_train_state
+
+    horizon, dt = 10, 0.1
+    rng = np.random.RandomState(args.seed)
+    bank = load_trajectory_bank(ensure_trajectory_bank(args.data_dir))
+    bank_test = load_trajectory_bank(args.data_dir, test=True)
+
+    def eval50(net):
+        r = np.random.RandomState(42)
+        idx = r.choice(len(bank_test), size=min(args.eval, len(bank_test)),
+                       replace=False)
+        refs = np.stack(
+            [prepare_trajectory(bank_test[i], dt, args.speed) for i in idx]
+        )
+        refs[:, :, 2] += 3.0
+        m, _ = run_eval(
+            net, quad_params(), jnp.asarray(refs), refs.shape[1] - horizon,
+            thresh_div=1.0, thresh_stable=1.0, horizon=horizon, dt=dt,
+            test_time=True,
+        )
+        return m
+
+    # 1. sample (state, window) pairs at the target speed
+    states, windows = full_state_training_data(
+        rng, bank, args.n_pairs, ref_length=horizon, dt=dt,
+        speed_factor=args.speed,
+    )
+    states = jnp.asarray(states)
+    windows = jnp.asarray(windows)
+
+    # 2. label with the batched MPC solve (cold start; window rows padded
+    #    to the 12 state dims like MPC._ref_quad)
+    mpc = MPC(horizon=horizon, dt=dt, dynamics="flightmare",
+              n_iters=args.mpc_iters)
+    dyn = quad_params()
+    win12 = jnp.concatenate(
+        [windows, jnp.zeros(windows.shape[:2] + (3,), jnp.float32)], axis=2
+    )
+    v_solve = jax.jit(jax.vmap(mpc._solve, in_axes=(None, 0, 0, 0)))
+    z0 = jnp.zeros((states.shape[0], horizon, 4), jnp.float32)
+    labels, _, _ = v_solve(dyn, states, win12, z0)
+    labels = jnp.clip(labels, 1e-4, 1 - 1e-4)
+    print(f"labeled {labels.shape[0]} pairs "
+          f"(mean action {float(labels.mean()):.3f})")
+
+    # 3. supervised regression in logit space
+    key = jax.random.PRNGKey(args.seed)
+    net = init_control_net(key, 15, horizon, 9, horizon * 4, conv=True)
+    target_logits = jnp.log(labels / (1 - labels)).reshape(
+        labels.shape[0], -1
+    )
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(net)
+
+    @jax.jit
+    def sup_step(net, opt_state, s, w, t):
+        def loss_fn(p):
+            in_state, _, in_ref, _ = quad_prepare_data(s, w)
+            logits = control_net_apply(p, in_state, in_ref)
+            # match executed actions, not raw logits: sigmoid-space MSE
+            return jnp.mean(
+                (jax.nn.sigmoid(logits) - jax.nn.sigmoid(t)) ** 2
+            )
+
+        loss, g = jax.value_and_grad(loss_fn)(net)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(net, updates), opt_state, loss
+
+    def fit_steps(net, opt_state, states, windows, target_logits, steps):
+        n = states.shape[0]
+        loss = None
+        for step_i in range(steps):
+            idx = rng.randint(n, size=args.batch)
+            net, opt_state, loss = sup_step(
+                net, opt_state, states[idx], windows[idx],
+                target_logits[idx],
+            )
+            if step_i % 1000 == 0:
+                print(f"  step {step_i}: imitation loss {float(loss):.5f}",
+                      flush=True)
+        return net, opt_state
+
+    def label(states_b, windows_b):
+        win12 = jnp.concatenate(
+            [windows_b,
+             jnp.zeros(windows_b.shape[:2] + (3,), jnp.float32)], axis=2
+        )
+        z = jnp.zeros((states_b.shape[0], horizon, 4), jnp.float32)
+        lab, _, _ = v_solve(dyn, states_b, win12, z)
+        lab = jnp.clip(lab, 1e-4, 1 - 1e-4)
+        return jnp.log(lab / (1 - lab)).reshape(lab.shape[0], -1)
+
+    net, opt_state = fit_steps(
+        net, opt_state, states, windows, target_logits, args.steps
+    )
+    m = eval50(net)
+    print("cloned:", json.dumps(
+        {"err": round(m["mean_divergence"], 4),
+         "stable": m["ratio_stable"]}), flush=True)
+
+    # DAgger rounds: aggregate states the STUDENT visits, labeled by the
+    # teacher, and keep training on the union
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import (
+        follow_trajectories,
+    )
+
+    all_s, all_w, all_t = [states], [windows], [target_logits]
+    for it in range(args.dagger_iters):
+        idx = rng.choice(len(bank), size=args.dagger_rollouts,
+                         replace=False)
+        refs = np.stack(
+            [prepare_trajectory(bank[i], dt, args.speed) for i in idx]
+        )
+        refs[:, :, 2] += 3.0
+        roll = follow_trajectories(
+            net, dyn, jnp.asarray(refs), refs.shape[1] - horizon,
+            thresh_div=1.0, thresh_stable=1.0, horizon=horizon, dt=dt,
+            test_time=False,  # reset-to-ref keeps coverage on-trajectory
+        )
+        vs = roll["states"].reshape(-1, 12)
+        vw = roll["windows"].reshape(-1, horizon, 9)
+        valid = np.asarray(roll["valid"]).reshape(-1)
+        take = np.where(valid)[0][::2][: args.n_pairs]
+        vs, vw = vs[jnp.asarray(take)], vw[jnp.asarray(take)]
+        vt = label(vs, vw)
+        all_s.append(vs)
+        all_w.append(vw)
+        all_t.append(vt)
+        s_cat = jnp.concatenate(all_s)
+        w_cat = jnp.concatenate(all_w)
+        t_cat = jnp.concatenate(all_t)
+        net, opt_state = fit_steps(
+            net, opt_state, s_cat, w_cat, t_cat, args.steps // 2
+        )
+        m = eval50(net)
+        print(f"dagger {it} ({s_cat.shape[0]} pairs):", json.dumps(
+            {"err": round(m["mean_divergence"], 4),
+             "stable": m["ratio_stable"]}), flush=True)
+
+    # model only: the distillation optimizer (Adam) is not the APG
+    # trainer's (SGD-momentum), so its state is not resumable anyway
+    from apg_trajectory_tracking_tpu.utils.checkpoints import save_checkpoint
+
+    save_path = os.path.join("trained_models", "quad", args.save_name)
+    save_checkpoint(
+        save_path, "model_quad", net,
+        {"train_mode": "concurrent", "horizon": horizon, "ref_dim": 9,
+         "action_dim": 4, "delta_t": dt, "speed_factor": args.speed,
+         "distilled_from": "mpc_adam", "mpc_iters": args.mpc_iters},
+    )
+    print("saved to", save_path)
+
+    # 4. optional APG fine-tune from the distilled weights
+    if args.apg_epochs > 0:
+        from apg_trajectory_tracking_tpu.training.common import load_config
+        from apg_trajectory_tracking_tpu.training.train_quad import TrainQuad
+
+        cfg = load_config(
+            "quad", dict(nr_epochs=args.apg_epochs,
+                         speed_factor=args.speed),
+        )
+        tr = TrainQuad(
+            config=cfg, seed=args.seed, save_name=args.save_name + "_apg",
+            data_dir=args.data_dir, curriculum=False, base_model=save_path,
+        )
+        tr.thresh_div = 1.0
+        tr.speed_factor = args.speed
+        tr.fit(verbose=False)
+        from apg_trajectory_tracking_tpu.utils.checkpoints import (
+            restore_train_state,
+        )
+
+        best, _, _ = restore_train_state(
+            tr.save_path, "model_quad", tr.net, None
+        )
+        m2 = eval50(best)
+        print("distilled+APG:", json.dumps(
+            {"err": round(m2["mean_divergence"], 4),
+             "stable": m2["ratio_stable"]}))
+
+
+if __name__ == "__main__":
+    main()
