@@ -76,6 +76,27 @@ def test_evaluate_wing(monkeypatch, capsys):
     assert metrics["mean_success"] < 1.0  # meters from target
 
 
+@pytest.mark.slow
+def test_distill_mpc_smoke(monkeypatch, capsys, tmp_path):
+    """Tiny MPC-DAgger distillation end-to-end: label -> clone -> one
+    DAgger round -> checkpoint."""
+    monkeypatch.chdir(tmp_path)
+    os.symlink(os.path.join(REPO, "data"), "data")
+    out = _run(
+        "distill_mpc",
+        ["distill_mpc.py", "--n_pairs", "128", "--steps", "300",
+         "--batch", "64", "--dagger_iters", "1", "--dagger_rollouts", "2",
+         "--eval", "4", "--data_dir", "data/traj_data", "--mpc_iters",
+         "20", "-s", "distill_smoke"],
+        monkeypatch, capsys, cwd=tmp_path,
+    )
+    assert "cloned:" in out and "dagger 0" in out
+    assert os.path.exists(
+        os.path.join("trained_models", "quad", "distill_smoke",
+                     "model_quad.npz")
+    )
+
+
 def test_evaluate_epochs(monkeypatch, capsys, tmp_path):
     """Train a 3-epoch smoke run (producing epoch snapshots), then sweep
     its checkpoints to csv."""
