@@ -21,22 +21,26 @@ from apg_trajectory_tracking_tpu.models.common import (
 )
 
 
-def init_control_net(key, state_dim, horizon, ref_dim, out_dim, conv=True):
+def init_control_net(key, state_dim, horizon, ref_dim, out_dim, conv=True,
+                     hidden=64):
     """Initialize params. ``out_dim`` = horizon*action_dim (concurrent) or
-    action_dim (autoregressive)."""
+    action_dim (autoregressive). ``hidden=64`` matches the reference's
+    hutter_model exactly; wider students are used by the MPC distillation
+    capacity experiments (the apply fn reads shapes from the params, so
+    any width round-trips through checkpoints that record it)."""
     keys = jax.random.split(key, 7)
-    reshape_len = 20 * (horizon - 2) if conv else 64
+    reshape_len = 20 * (horizon - 2) if conv else hidden
     params = {
-        "states_in": linear_init(keys[0], state_dim, 64),
-        "fc1": linear_init(keys[2], 64 + reshape_len, 64),
-        "fc2": linear_init(keys[3], 64, 64),
-        "fc3": linear_init(keys[4], 64, 64),
-        "fc_out": linear_init(keys[5], 64, out_dim),
+        "states_in": linear_init(keys[0], state_dim, hidden),
+        "fc1": linear_init(keys[2], hidden + reshape_len, hidden),
+        "fc2": linear_init(keys[3], hidden, hidden),
+        "fc3": linear_init(keys[4], hidden, hidden),
+        "fc_out": linear_init(keys[5], hidden, out_dim),
     }
     if conv:
         params["conv_ref"] = conv1d_init(keys[1], ref_dim, 20, 3)
     else:
-        params["ref_in"] = linear_init(keys[1], horizon * ref_dim, 64)
+        params["ref_in"] = linear_init(keys[1], horizon * ref_dim, hidden)
     return params
 
 

@@ -245,7 +245,7 @@ class TrainQuad:
         else:
             self.net = init_control_net(
                 k_net, IN_STATE_SIZE, self.horizon, cfg["ref_dim"],
-                out_dim, conv=True,
+                out_dim, conv=True, hidden=cfg.get("hidden", 64),
             )
         self.optimizer = sgd_momentum(cfg["learning_rate_controller"])
         self.opt_state = self.optimizer.init(self.net)

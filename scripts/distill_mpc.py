@@ -49,6 +49,8 @@ def main():
     parser.add_argument("-s", "--save_name", default="mpc_distilled")
     parser.add_argument("--data_dir", default="data/traj_data_full")
     parser.add_argument("--mpc_iters", type=int, default=50)
+    parser.add_argument("--hidden", type=int, default=64,
+                        help="student width (64 = reference architecture)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -132,7 +134,8 @@ def main():
 
     # 3. supervised regression in logit space
     key = jax.random.PRNGKey(args.seed)
-    net = init_control_net(key, 15, horizon, 9, horizon * 4, conv=True)
+    net = init_control_net(key, 15, horizon, 9, horizon * 4, conv=True,
+                           hidden=args.hidden)
     target_logits = jnp.log(labels / (1 - labels)).reshape(
         labels.shape[0], -1
     )
@@ -233,7 +236,8 @@ def main():
         save_path, "model_quad", net,
         {"train_mode": "concurrent", "horizon": horizon, "ref_dim": 9,
          "action_dim": 4, "delta_t": dt, "speed_factor": args.speed,
-         "distilled_from": "mpc_adam", "mpc_iters": args.mpc_iters},
+         "hidden": args.hidden, "distilled_from": "mpc_adam",
+         "mpc_iters": args.mpc_iters},
     )
     print("saved to", save_path)
 

@@ -33,11 +33,16 @@ def load_quad_controller(model_path, epoch=""):
         if mode == "concurrent"
         else cfg["action_dim"]
     )
-    init = init_lstm_net if mode == "LSTM" else init_control_net
-    template = init(
-        jax.random.PRNGKey(0), 15, cfg["horizon"], cfg["ref_dim"], out_dim,
-        conv=True,
-    )
+    if mode == "LSTM":
+        template = init_lstm_net(
+            jax.random.PRNGKey(0), 15, cfg["horizon"], cfg["ref_dim"],
+            out_dim, conv=True,
+        )
+    else:
+        template = init_control_net(
+            jax.random.PRNGKey(0), 15, cfg["horizon"], cfg["ref_dim"],
+            out_dim, conv=True, hidden=cfg.get("hidden", 64),
+        )
     net = load_checkpoint(model_path, "model_quad" + epoch, template)
     return net, cfg
 
