@@ -187,6 +187,7 @@ def main():
     print("cloned:", json.dumps(
         {"err": round(m["mean_divergence"], 4),
          "stable": m["ratio_stable"]}), flush=True)
+    best_net, best_err = net, m["mean_divergence"]
 
     # DAgger rounds: aggregate states the STUDENT visits, labeled by the
     # teacher, and keep training on the union
@@ -226,6 +227,11 @@ def main():
         print(f"dagger {it} ({s_cat.shape[0]} pairs):", json.dumps(
             {"err": round(m["mean_divergence"], 4),
              "stable": m["ratio_stable"]}), flush=True)
+        if m["mean_divergence"] < best_err:
+            best_net, best_err = net, m["mean_divergence"]
+    # ship the best-by-error round (round-to-round eval noise ~0.003)
+    net = best_net
+    print(f"best round err {best_err:.4f}")
 
     # model only: the distillation optimizer (Adam) is not the APG
     # trainer's (SGD-momentum), so its state is not resumable anyway
