@@ -33,7 +33,7 @@ def _feedforward_apply(net_params, carry, in_state, in_ref):
     jax.jit,
     static_argnames=(
         "dyn_step", "horizon", "max_steps", "dt", "test_time",
-        "net_apply", "window_len", "action_transform",
+        "net_apply", "window_len", "action_transform", "net_window",
     ),
 )
 def follow_trajectories(
@@ -52,6 +52,7 @@ def follow_trajectories(
     net_carry=None,
     window_len=None,
     action_transform=jax.nn.sigmoid,
+    net_window=None,
 ):
     """Roll out the controller on a batch of reference trajectories.
 
@@ -73,6 +74,11 @@ def follow_trajectories(
     n_test = references.shape[0]
     if window_len is None:
         window_len = horizon
+    if net_window is None:
+        # recurrent modes carry a 2*horizon window but the net consumes the
+        # first horizon rows (network_wrapper.py:55); wide-window students
+        # (e.g. long-horizon MPC distillation) consume more
+        net_window = horizon
     init_state = jnp.zeros((n_test, 12), dtype=jnp.float32)
     init_state = init_state.at[:, :3].set(references[:, 0, :3])
 
@@ -85,7 +91,8 @@ def follow_trajectories(
             lambda ref: array_ref_window(ref, i, window_len)
         )(references)
         in_state, _, in_ref, _ = quad_prepare_data(state, window)
-        nc, logits = net_apply(net_params, nc, in_state, in_ref[:, :horizon])
+        nc, logits = net_apply(net_params, nc, in_state,
+                               in_ref[:, :net_window])
         actions = action_transform(logits).reshape(n_test, -1, 4)
         new_state = dyn_step(dyn_params, state, actions[:, 0], dt)
 
@@ -199,6 +206,7 @@ def run_eval(
     window_len=None,
     mesh=None,
     action_transform=jax.nn.sigmoid,
+    net_window=None,
 ):
     """Aggregate eval metrics (run_eval, evaluate_drone.py:237-300).
 
@@ -232,6 +240,7 @@ def run_eval(
         dyn_step=dyn_step, horizon=horizon, max_steps=max_steps, dt=dt,
         test_time=test_time, net_apply=net_apply, net_carry=net_carry,
         window_len=window_len, action_transform=action_transform,
+        net_window=net_window,
     )
     if roll["divergences"].shape[0] != n_req:
         roll = {k: v[:n_req] for k, v in roll.items()}

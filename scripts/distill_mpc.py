@@ -49,8 +49,17 @@ def main():
     parser.add_argument("-s", "--save_name", default="mpc_distilled")
     parser.add_argument("--data_dir", default="data/traj_data_full")
     parser.add_argument("--mpc_iters", type=int, default=50)
+    parser.add_argument("--teacher_horizon", type=int, default=10,
+                        help="teacher's planning horizon (longer plans "
+                             "give far better labels: h20 MPC tracks at "
+                             "~0.014 vs h10's ~0.056; the student still "
+                             "emits 10 actions)")
     parser.add_argument("--hidden", type=int, default=64,
                         help="student width (64 = reference architecture)")
+    parser.add_argument("--student_window", type=int, default=None,
+                        help="reference rows the student SEES (default = "
+                             "10; set = teacher_horizon so a long-horizon "
+                             "teacher is realizable for the student)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -71,9 +80,11 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from apg_trajectory_tracking_tpu.controllers.mpc import MPC
     from apg_trajectory_tracking_tpu.data.dataset import quad_prepare_data
-    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+    from apg_trajectory_tracking_tpu.dynamics.quad import (
+        quad_params,
+        quad_step,
+    )
     from apg_trajectory_tracking_tpu.envs.quad_env import (
         full_state_training_data,
     )
@@ -94,6 +105,8 @@ def main():
     bank = load_trajectory_bank(ensure_trajectory_bank(args.data_dir))
     bank_test = load_trajectory_bank(args.data_dir, test=True)
 
+    sw = args.student_window or horizon
+
     def eval50(net):
         r = np.random.RandomState(42)
         idx = r.choice(len(bank_test), size=min(args.eval, len(bank_test)),
@@ -102,50 +115,67 @@ def main():
             [prepare_trajectory(bank_test[i], dt, args.speed) for i in idx]
         )
         refs[:, :, 2] += 3.0
+        kw = {}
+        if sw != horizon:
+            kw = {"window_len": sw, "net_window": sw}
         m, _ = run_eval(
-            net, quad_params(), jnp.asarray(refs), refs.shape[1] - horizon,
+            net, quad_params(), jnp.asarray(refs), refs.shape[1] - sw,
             thresh_div=1.0, thresh_stable=1.0, horizon=horizon, dt=dt,
-            test_time=True,
+            test_time=True, **kw,
         )
         return m
 
-    # 1. sample (state, window) pairs at the target speed
+    # 1. sample (state, window) pairs at the target speed; windows carry
+    #    the TEACHER's horizon — the student consumes the first 10 rows
+    th = args.teacher_horizon
+    assert sw <= th or th <= horizon, "student_window must fit the sampled window"
+    win_rows = max(th, sw)
     states, windows = full_state_training_data(
-        rng, bank, args.n_pairs, ref_length=horizon, dt=dt,
+        rng, bank, args.n_pairs, ref_length=win_rows, dt=dt,
         speed_factor=args.speed,
     )
     states = jnp.asarray(states)
     windows = jnp.asarray(windows)
 
-    # 2. label with the batched MPC solve (cold start; window rows padded
-    #    to the 12 state dims like MPC._ref_quad)
-    mpc = MPC(horizon=horizon, dt=dt, dynamics="flightmare",
-              n_iters=args.mpc_iters)
-    dyn = quad_params()
-    win12 = jnp.concatenate(
-        [windows, jnp.zeros(windows.shape[:2] + (3,), jnp.float32)], axis=2
+    # 2. label with the batched MPC solve over the teacher horizon (cold
+    #    start; window rows padded to the 12 state dims like
+    #    MPC._ref_quad); the student imitates the first 10 planned actions
+    from apg_trajectory_tracking_tpu.controllers.mpc import (
+        _SPECS,
+        _make_solver,
     )
-    v_solve = jax.jit(jax.vmap(mpc._solve, in_axes=(None, 0, 0, 0)))
-    z0 = jnp.zeros((states.shape[0], horizon, 4), jnp.float32)
-    labels, _, _ = v_solve(dyn, states, win12, z0)
-    labels = jnp.clip(labels, 1e-4, 1 - 1e-4)
-    print(f"labeled {labels.shape[0]} pairs "
-          f"(mean action {float(labels.mean()):.3f})")
 
-    # 3. supervised regression in logit space
-    key = jax.random.PRNGKey(args.seed)
-    net = init_control_net(key, 15, horizon, 9, horizon * 4, conv=True,
-                           hidden=args.hidden)
-    target_logits = jnp.log(labels / (1 - labels)).reshape(
-        labels.shape[0], -1
+    solve = _make_solver(
+        quad_step, _SPECS["flightmare"], th, dt, args.mpc_iters, 0.1
     )
+    dyn = quad_params()
+    v_solve = jax.jit(jax.vmap(solve, in_axes=(None, 0, 0, 0)))
+
+    def label(states_b, windows_b):
+        wb = windows_b[:, :th]
+        win12 = jnp.concatenate(
+            [wb, jnp.zeros(wb.shape[:2] + (3,), jnp.float32)], axis=2
+        )
+        z = jnp.zeros((states_b.shape[0], th, 4), jnp.float32)
+        lab, _, _ = v_solve(dyn, states_b, win12, z)
+        lab = jnp.clip(lab[:, :horizon], 1e-4, 1 - 1e-4)
+        return jnp.log(lab / (1 - lab)).reshape(lab.shape[0], -1)
+
+    target_logits = label(states, windows)
+    print(f"labeled {states.shape[0]} pairs (teacher horizon {th})")
+
+    # 3. supervised regression toward the teacher actions
+    key = jax.random.PRNGKey(args.seed)
+    # the net's conv-ref branch is sized by the rows it consumes (sw)
+    net = init_control_net(key, 15, sw, 9, horizon * 4, conv=True,
+                           hidden=args.hidden)
     opt = optax.adam(args.lr)
     opt_state = opt.init(net)
 
     @jax.jit
     def sup_step(net, opt_state, s, w, t):
         def loss_fn(p):
-            in_state, _, in_ref, _ = quad_prepare_data(s, w)
+            in_state, _, in_ref, _ = quad_prepare_data(s, w[:, :sw])
             logits = control_net_apply(p, in_state, in_ref)
             # match executed actions, not raw logits: sigmoid-space MSE
             return jnp.mean(
@@ -169,16 +199,6 @@ def main():
                 print(f"  step {step_i}: imitation loss {float(loss):.5f}",
                       flush=True)
         return net, opt_state
-
-    def label(states_b, windows_b):
-        win12 = jnp.concatenate(
-            [windows_b,
-             jnp.zeros(windows_b.shape[:2] + (3,), jnp.float32)], axis=2
-        )
-        z = jnp.zeros((states_b.shape[0], horizon, 4), jnp.float32)
-        lab, _, _ = v_solve(dyn, states_b, win12, z)
-        lab = jnp.clip(lab, 1e-4, 1 - 1e-4)
-        return jnp.log(lab / (1 - lab)).reshape(lab.shape[0], -1)
 
     net, opt_state = fit_steps(
         net, opt_state, states, windows, target_logits, args.steps
@@ -204,12 +224,13 @@ def main():
         )
         refs[:, :, 2] += 3.0
         roll = follow_trajectories(
-            net, dyn, jnp.asarray(refs), refs.shape[1] - horizon,
+            net, dyn, jnp.asarray(refs), refs.shape[1] - win_rows,
             thresh_div=1.0, thresh_stable=1.0, horizon=horizon, dt=dt,
             test_time=False,  # reset-to-ref keeps coverage on-trajectory
+            window_len=win_rows, net_window=sw,
         )
         vs = roll["states"].reshape(-1, 12)
-        vw = roll["windows"].reshape(-1, horizon, 9)
+        vw = roll["windows"].reshape(-1, win_rows, 9)
         valid = np.asarray(roll["valid"]).reshape(-1)
         take = np.where(valid)[0][::2][: args.n_pairs]
         vs, vw = vs[jnp.asarray(take)], vw[jnp.asarray(take)]
@@ -242,8 +263,9 @@ def main():
         save_path, "model_quad", net,
         {"train_mode": "concurrent", "horizon": horizon, "ref_dim": 9,
          "action_dim": 4, "delta_t": dt, "speed_factor": args.speed,
-         "hidden": args.hidden, "distilled_from": "mpc_adam",
-         "mpc_iters": args.mpc_iters},
+         "hidden": args.hidden, "net_window": sw, "ref_length": sw,
+         "distilled_from": "mpc_adam", "mpc_iters": args.mpc_iters,
+         "teacher_horizon": th},
     )
     print("saved to", save_path)
 

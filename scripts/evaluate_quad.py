@@ -39,8 +39,11 @@ def load_quad_controller(model_path, epoch=""):
             out_dim, conv=True,
         )
     else:
+        # wide-window students (long-horizon MPC distillation) size the
+        # conv-ref branch by the rows they consume, not the action horizon
         template = init_control_net(
-            jax.random.PRNGKey(0), 15, cfg["horizon"], cfg["ref_dim"],
+            jax.random.PRNGKey(0), 15,
+            cfg.get("net_window", cfg["horizon"]), cfg["ref_dim"],
             out_dim, conv=True, hidden=cfg.get("hidden", 64),
         )
     net = load_checkpoint(model_path, "model_quad" + epoch, template)
@@ -63,6 +66,9 @@ def eval_kwargs_for(cfg, nr_test):
     ref_length = cfg.get("ref_length", cfg["horizon"])
     if ref_length != cfg["horizon"]:
         kwargs["window_len"] = ref_length
+    net_window = cfg.get("net_window", cfg["horizon"])
+    if net_window != cfg["horizon"]:
+        kwargs["net_window"] = net_window
     return kwargs
 
 
