@@ -105,7 +105,7 @@ def run_worker(args):
     # every process derives the same GLOBAL dataset deterministically but
     # materializes only its own rows — the multi-host data-sharding path
     rng = np.random.RandomState(7)
-    n = 64
+    n = args.n_rows
     g_states = rng.randn(n, 12).astype(np.float32)
     g_refs = rng.randn(n, 10, 9).astype(np.float32)
     sh = NamedSharding(mesh, P("env"))
@@ -117,7 +117,7 @@ def run_worker(args):
     refs = jax.make_array_from_process_local_data(
         sh, g_refs[lo:hi], (n, 10, 9)
     )
-    idx = shuffled_batches(jax.random.PRNGKey(1), n, 8)
+    idx = shuffled_batches(jax.random.PRNGKey(1), n, args.batch_size)
     net, opt_state, loss = epoch(net, opt_state, dyn_r, states, refs, idx)
     print(f"[p{pid}] epoch_loss {float(loss):.6f}", flush=True)
     leaf = np.asarray(
@@ -136,6 +136,8 @@ def run_launcher(args):
             "--process_id", str(pid), "--nproc", str(args.nproc),
             "--coordinator", args.coordinator,
             "--local_devices", str(args.local_devices),
+            "--n_rows", str(args.n_rows),
+            "--batch_size", str(args.batch_size),
         ]
         logs.append(open(f"/tmp/multihost_p{pid}.log", "w+"))
         procs.append(subprocess.Popen(
@@ -169,6 +171,10 @@ if __name__ == "__main__":
     parser.add_argument("--process_id", type=int, default=0)
     parser.add_argument("--local_devices", type=int, default=4)
     parser.add_argument("--coordinator", default="127.0.0.1:29517")
+    parser.add_argument("--n_rows", type=int, default=64,
+                        help="global env batch (BASELINE config #5 uses "
+                             "16384 over 2 hosts)")
+    parser.add_argument("--batch_size", type=int, default=8)
     args = parser.parse_args()
     if args.worker:
         run_worker(args)
