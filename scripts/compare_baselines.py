@@ -70,10 +70,7 @@ def eval_apg(model_dir, references, horizon_steps, thresh_div):
 def eval_mpc(solver, references, dt, horizon, thresh_div, n_iters=None):
     import jax.numpy as jnp
 
-    from apg_trajectory_tracking_tpu.controllers.mpc import (
-        MPC,
-        _make_solver,
-    )
+    from apg_trajectory_tracking_tpu.controllers.mpc import MPC
     from apg_trajectory_tracking_tpu.dynamics.quad import (
         quad_params,
         quad_step,

@@ -98,7 +98,6 @@ def main():
         load_trajectory_bank,
         prepare_trajectory,
     )
-    from apg_trajectory_tracking_tpu.utils.checkpoints import save_train_state
 
     horizon, dt = 10, 0.1
     rng = np.random.RandomState(args.seed)
