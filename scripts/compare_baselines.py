@@ -335,10 +335,15 @@ def main():
         rows[name] = eval_apg(model_dir, references, horizon, thresh_div)
         print(name, json.dumps(rows[name]))
     if not args.skip_mpc:
-        for solver in ("adam", "ilqr"):
-            name = f"MPC ({solver})"
+        for name, solver, h, iters in (
+            ("MPC (adam)", "adam", 10, None),
+            ("MPC (ilqr)", "ilqr", 10, None),
+            # the reference's own MPC runs h=10; h=20 shows the solver's
+            # true ceiling (horizon-limited, DESIGN.md section 7)
+            ("MPC (adam, h=20)", "adam", 20, 100),
+        ):
             rows[name] = eval_mpc(
-                solver, references, dt, horizon, thresh_div
+                solver, references, dt, h, thresh_div, n_iters=iters
             )
             print(name, json.dumps(rows[name]))
     ppo_metrics = eval_ppo(

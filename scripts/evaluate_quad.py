@@ -96,6 +96,9 @@ def main():
     parser.add_argument("--solver", default="adam",
                         choices=["adam", "ilqr"],
                         help="OCP solver for -m mpc")
+    parser.add_argument("--mpc_horizon", type=int, default=10,
+                        help="planning horizon for -m mpc (the reference "
+                             "uses 10; 20 is far stronger — DESIGN.md 7)")
     parser.add_argument("--animate", default=None, metavar="FILE.gif",
                         help="save a 3D flight animation of the first "
                              "rollouts (rand/poly/waypoint refs)")
@@ -136,7 +139,7 @@ def main():
         from apg_trajectory_tracking_tpu.controllers.mpc import MPC
         from apg_trajectory_tracking_tpu.dynamics.quad import quad_step
 
-        dt, horizon = 0.1, 10
+        dt, horizon = 0.1, args.mpc_horizon
         speed = args.speed or 0.4
         mpc_kwargs = {}
         if args.mpc_dynamics == "high_mpc":
