@@ -35,6 +35,9 @@ def main():
     parser.add_argument("-e", "--epoch", default="")
     parser.add_argument("-a", "--eval", type=int, default=10)
     parser.add_argument("--sweep", action="store_true")
+    parser.add_argument("--mpc_horizon", type=int, default=10,
+                        help="planning horizon for -m mpc (10 = the "
+                             "reference's; 20 intercepts within ~0.0003 m)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -66,8 +69,9 @@ def main():
         from apg_trajectory_tracking_tpu.dynamics.fixed_wing import wing_step
         from apg_trajectory_tracking_tpu.controllers.mpc import MPC
 
-        dt, horizon = 0.05, 10
-        ctrl = MPC(horizon=horizon, dt=dt, dynamics="fixed_wing_3D")
+        dt, horizon = 0.05, args.mpc_horizon
+        ctrl = MPC(horizon=horizon, dt=dt, dynamics="fixed_wing_3D",
+                   n_iters=None if horizon <= 10 else 100)
         dyn = wing_params({})
         rng = np.random.RandomState(42)
         errors = []
