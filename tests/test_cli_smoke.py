@@ -97,6 +97,23 @@ def test_distill_mpc_smoke(monkeypatch, capsys, tmp_path):
     )
 
 
+@pytest.mark.slow
+def test_distill_mpc_wing_smoke(monkeypatch, capsys, tmp_path):
+    monkeypatch.chdir(tmp_path)
+    out = _run(
+        "distill_mpc_wing",
+        ["distill_mpc_wing.py", "--n_pairs", "128", "--steps", "200",
+         "--batch", "64", "--dagger_iters", "1", "--dagger_rollouts", "3",
+         "--eval", "3", "--mpc_iters", "15", "-s", "wing_distill_smoke"],
+        monkeypatch, capsys, cwd=tmp_path,
+    )
+    assert "cloned:" in out and "dagger 0" in out
+    assert os.path.exists(
+        os.path.join("trained_models", "wing", "wing_distill_smoke",
+                     "model_wing.npz")
+    )
+
+
 def test_evaluate_epochs(monkeypatch, capsys, tmp_path):
     """Train a 3-epoch smoke run (producing epoch snapshots), then sweep
     its checkpoints to csv."""
