@@ -56,6 +56,10 @@ def main():
                              "emits 10 actions)")
     parser.add_argument("--hidden", type=int, default=64,
                         help="student width (64 = reference architecture)")
+    parser.add_argument("--student_horizon", type=int, default=10,
+                        help="actions the student emits per query (10 = "
+                             "reference contract; only the first executes "
+                             "closed-loop)")
     parser.add_argument("--student_window", type=int, default=None,
                         help="reference rows the student SEES (default = "
                              "10; set = teacher_horizon so a long-horizon "
@@ -99,7 +103,7 @@ def main():
         prepare_trajectory,
     )
 
-    horizon, dt = 10, 0.1
+    horizon, dt = args.student_horizon, 0.1
     rng = np.random.RandomState(args.seed)
     bank = load_trajectory_bank(ensure_trajectory_bank(args.data_dir))
     bank_test = load_trajectory_bank(args.data_dir, test=True)
