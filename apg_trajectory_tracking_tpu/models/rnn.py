@@ -24,22 +24,26 @@ from apg_trajectory_tracking_tpu.models.common import (
 HIDDEN = 8
 
 
-def init_lstm_net(key, state_dim, horizon, ref_dim, action_dim, conv=True):
+def init_lstm_net(key, state_dim, horizon, ref_dim, action_dim, conv=True,
+                  hidden=HIDDEN):
+    """``hidden=8`` matches the reference's LSTM_NEW exactly; wider cells
+    are used by the recurrent-distillation experiments (apply/init_state
+    derive shapes from the params, so any width round-trips)."""
     keys = jax.random.split(key, 5)
     reshape_len = 20 * (horizon - 2) if conv else 64
     in_dim = state_dim + reshape_len
     # torch LSTMCell init: U(-1/sqrt(hidden), 1/sqrt(hidden)) for all 4 mats
-    bound = 1.0 / jnp.sqrt(HIDDEN)
+    bound = 1.0 / jnp.sqrt(hidden)
     u = lambda k, shape: jax.random.uniform(
         k, shape, minval=-bound, maxval=bound, dtype=jnp.float32
     )
     kih, khh, kbih, kbhh = jax.random.split(keys[0], 4)
     params = {
-        "w_ih": u(kih, (in_dim, 4 * HIDDEN)),
-        "w_hh": u(khh, (HIDDEN, 4 * HIDDEN)),
-        "b_ih": u(kbih, (4 * HIDDEN,)),
-        "b_hh": u(kbhh, (4 * HIDDEN,)),
-        "fc_out": linear_init(keys[1], HIDDEN, action_dim),
+        "w_ih": u(kih, (in_dim, 4 * hidden)),
+        "w_hh": u(khh, (hidden, 4 * hidden)),
+        "b_ih": u(kbih, (4 * hidden,)),
+        "b_hh": u(kbhh, (4 * hidden,)),
+        "fc_out": linear_init(keys[1], hidden, action_dim),
     }
     if conv:
         params["conv_ref"] = conv1d_init(keys[2], ref_dim, 20, 3)
@@ -48,16 +52,16 @@ def init_lstm_net(key, state_dim, horizon, ref_dim, action_dim, conv=True):
     return params
 
 
-def init_lstm_state(batch_size, key=None):
+def init_lstm_state(batch_size, key=None, hidden=HIDDEN):
     """(h, c) initial state; random-normal when a key is given (the
     reference's randn quirk, rnn.py:32-33), zeros otherwise."""
     if key is None:
-        z = jnp.zeros((batch_size, HIDDEN), dtype=jnp.float32)
+        z = jnp.zeros((batch_size, hidden), dtype=jnp.float32)
         return z, z
     kh, kc = jax.random.split(key)
     return (
-        jax.random.normal(kh, (batch_size, HIDDEN), dtype=jnp.float32),
-        jax.random.normal(kc, (batch_size, HIDDEN), dtype=jnp.float32),
+        jax.random.normal(kh, (batch_size, hidden), dtype=jnp.float32),
+        jax.random.normal(kc, (batch_size, hidden), dtype=jnp.float32),
     )
 
 
