@@ -45,6 +45,9 @@ def main():
     parser.add_argument("-s", "--save_name", default="mpc_distilled_lstm")
     parser.add_argument("--data_dir", default="data/traj_data_full")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--base_model", default=None,
+                        help="resume the DAgger loop from a previously "
+                             "saved student (dir under trained_models/quad)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -228,7 +231,21 @@ def main():
     )
     print(f"teacher sequences: {t_states.shape}", flush=True)
     data = [t_states, t_windows, t_actions, t_valid]
-    net, opt_state = fit_stage(net, opt_state, data, args.steps)
+    if args.base_model is not None:
+        # resume: load the student and skip straight to DAgger (the
+        # teacher sequences still seed the aggregate so early relabels
+        # don't dominate the mix)
+        from apg_trajectory_tracking_tpu.utils.checkpoints import (
+            load_checkpoint,
+        )
+
+        net = load_checkpoint(
+            os.path.join("trained_models", "quad", args.base_model),
+            "model_quad", net,
+        )
+        opt_state = opt.init(net)
+    else:
+        net, opt_state = fit_stage(net, opt_state, data, args.steps)
     m = evalN(net)
     print("teacher-forced:", json.dumps(
         {"err": round(m["mean_divergence"], 4),

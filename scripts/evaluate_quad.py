@@ -36,7 +36,7 @@ def load_quad_controller(model_path, epoch=""):
     if mode == "LSTM":
         template = init_lstm_net(
             jax.random.PRNGKey(0), 15, cfg["horizon"], cfg["ref_dim"],
-            out_dim, conv=True,
+            out_dim, conv=True, hidden=cfg.get("hidden", 8),
         )
     else:
         # wide-window students (long-horizon MPC distillation) size the
@@ -62,7 +62,11 @@ def eval_kwargs_for(cfg, nr_test):
     kwargs = {}
     if mode == "LSTM":
         kwargs["net_apply"] = lstm_net_apply
-        kwargs["net_carry"] = init_lstm_state(nr_test)
+        # cfg["hidden"] is the LSTM cell width for recurrent checkpoints
+        # (default 8 = the reference LSTM_NEW width)
+        kwargs["net_carry"] = init_lstm_state(
+            nr_test, hidden=cfg.get("hidden", 8)
+        )
     ref_length = cfg.get("ref_length", cfg["horizon"])
     if ref_length != cfg["horizon"]:
         kwargs["window_len"] = ref_length
