@@ -98,6 +98,37 @@ def test_distill_mpc_smoke(monkeypatch, capsys, tmp_path):
 
 
 @pytest.mark.slow
+def test_distill_mpc_lstm_smoke(monkeypatch, capsys, tmp_path):
+    """Tiny recurrent distillation end-to-end (teacher rollout ->
+    teacher forcing -> one DAgger round -> checkpoint), then the saved
+    non-default-width student evaluates through the standard eval CLI
+    (regression: the LSTM carry/template must honor cfg['hidden'])."""
+    monkeypatch.chdir(tmp_path)
+    os.symlink(os.path.join(REPO, "data"), "data")
+    out = _run(
+        "distill_mpc_lstm",
+        ["distill_mpc_lstm.py", "--rollouts", "2", "--steps", "40",
+         "--seq_batch", "2", "--dagger_iters", "1", "--dagger_rollouts",
+         "2", "--eval", "2", "--mpc_iters", "10", "--hidden", "16",
+         "--data_dir", "data/traj_data", "-s", "lstm_smoke"],
+        monkeypatch, capsys, cwd=tmp_path,
+    )
+    assert "teacher-forced:" in out and "dagger 0" in out
+    assert os.path.exists(
+        os.path.join("trained_models", "quad", "lstm_smoke",
+                     "model_quad.npz")
+    )
+    out = _run(
+        "evaluate_quad",
+        ["evaluate_quad.py", "-m", "lstm_smoke", "-a", "2",
+         "--data_dir", "data/traj_data"],
+        monkeypatch, capsys, cwd=tmp_path,
+    )
+    metrics = json.loads(out[out.rindex("{"):])
+    assert 0.0 <= metrics["ratio_stable"] <= 1.0
+
+
+@pytest.mark.slow
 def test_distill_mpc_wing_smoke(monkeypatch, capsys, tmp_path):
     monkeypatch.chdir(tmp_path)
     out = _run(
