@@ -91,7 +91,6 @@ def main():
         prepare_trajectory,
     )
     from apg_trajectory_tracking_tpu.trajectory.refs import array_ref_window
-    from apg_trajectory_tracking_tpu.utils.checkpoints import save_checkpoint
 
     th, dt, horizon = args.teacher_horizon, 0.1, 10
     rng = np.random.RandomState(args.seed)
@@ -279,11 +278,23 @@ def main():
              "stable": m["ratio_stable"]}), flush=True)
         if m["mean_divergence"] < best_err:
             best_net, best_err = net, m["mean_divergence"]
+            # checkpoint every improvement — DAgger rounds are minutes
+            # each, so a long run never loses its best student
+            _save(best_net, args, horizon, dt, th)
     print(f"best err {best_err:.4f}")
+    _save(best_net, args, horizon, dt, th)
+
+
+def _save(net, args, horizon, dt, th):
+    import os
+
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        save_checkpoint,
+    )
 
     save_path = os.path.join("trained_models", "quad", args.save_name)
     save_checkpoint(
-        save_path, "model_quad", best_net,
+        save_path, "model_quad", net,
         {"train_mode": "LSTM", "horizon": horizon, "ref_dim": 9,
          "action_dim": 4, "delta_t": dt, "speed_factor": args.speed,
          "hidden": args.hidden, "net_window": th, "ref_length": th,
