@@ -64,6 +64,9 @@ def main():
                         help="reference rows the student SEES (default = "
                              "10; set = teacher_horizon so a long-horizon "
                              "teacher is realizable for the student)")
+    parser.add_argument("--base_model", default=None,
+                        help="resume the DAgger loop from a previously "
+                             "saved student (dir under trained_models/quad)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -203,9 +206,22 @@ def main():
                       flush=True)
         return net, opt_state
 
-    net, opt_state = fit_steps(
-        net, opt_state, states, windows, target_logits, args.steps
-    )
+    if args.base_model is not None:
+        # resume: load the student and skip the behavior-cloning stage
+        # (the fresh teacher pairs still seed the aggregate)
+        from apg_trajectory_tracking_tpu.utils.checkpoints import (
+            load_checkpoint,
+        )
+
+        net = load_checkpoint(
+            os.path.join("trained_models", "quad", args.base_model),
+            "model_quad", net,
+        )
+        opt_state = opt.init(net)
+    else:
+        net, opt_state = fit_steps(
+            net, opt_state, states, windows, target_logits, args.steps
+        )
     m = eval50(net)
     print("cloned:", json.dumps(
         {"err": round(m["mean_divergence"], 4),
