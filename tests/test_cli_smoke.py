@@ -95,6 +95,20 @@ def test_distill_mpc_smoke(monkeypatch, capsys, tmp_path):
         os.path.join("trained_models", "quad", "distill_smoke",
                      "model_quad.npz")
     )
+    # resume leg: --base_model skips cloning and continues the DAgger loop
+    out = _run(
+        "distill_mpc",
+        ["distill_mpc.py", "--n_pairs", "64", "--steps", "100",
+         "--batch", "32", "--dagger_iters", "1", "--dagger_rollouts", "2",
+         "--eval", "2", "--data_dir", "data/traj_data", "--mpc_iters",
+         "10", "--base_model", "distill_smoke", "-s", "distill_smoke2"],
+        monkeypatch, capsys, cwd=tmp_path,
+    )
+    assert "dagger 0" in out
+    assert os.path.exists(
+        os.path.join("trained_models", "quad", "distill_smoke2",
+                     "model_quad.npz")
+    )
 
 
 @pytest.mark.slow
