@@ -107,7 +107,15 @@ def main():
     )
 
     horizon, dt = args.student_horizon, 0.1
-    rng = np.random.RandomState(args.seed)
+    # a resumed leg must consume a DIFFERENT rng stream than its base run
+    # (and than sibling legs), or every leg redraws the same teacher pairs
+    # and DAgger trajectories; fold the base name into the seed
+    seed = args.seed
+    if args.base_model is not None:
+        seed = args.seed + (
+            int.from_bytes(args.base_model.encode(), "little") % 100003
+        )
+    rng = np.random.RandomState(seed)
     bank = load_trajectory_bank(ensure_trajectory_bank(args.data_dir))
     bank_test = load_trajectory_bank(args.data_dir, test=True)
 
@@ -211,12 +219,27 @@ def main():
         # (the fresh teacher pairs still seed the aggregate)
         from apg_trajectory_tracking_tpu.utils.checkpoints import (
             load_checkpoint,
+            resolve_model_dir,
         )
 
-        net = load_checkpoint(
-            os.path.join("trained_models", "quad", args.base_model),
-            "model_quad", net,
-        )
+        base_dir = resolve_model_dir(args.base_model, "quad")
+        with open(os.path.join(base_dir, "config.json")) as f:
+            base_cfg = json.load(f)
+        # architecture must come from the base checkpoint — a width or
+        # window mismatch would load anyway (npz leaves replace template
+        # leaves) and crash far away at eval time
+        if base_cfg.get("hidden", 64) != args.hidden:
+            raise SystemExit(
+                f"--base_model was trained with hidden="
+                f"{base_cfg.get('hidden', 64)}; pass --hidden to match"
+            )
+        if base_cfg.get("net_window", base_cfg["horizon"]) != sw:
+            raise SystemExit(
+                f"--base_model was trained with net_window="
+                f"{base_cfg.get('net_window', base_cfg['horizon'])}; "
+                f"pass --student_window to match"
+            )
+        net = load_checkpoint(base_dir, "model_quad", net)
         opt_state = opt.init(net)
     else:
         net, opt_state = fit_steps(

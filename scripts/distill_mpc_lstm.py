@@ -93,7 +93,14 @@ def main():
     from apg_trajectory_tracking_tpu.trajectory.refs import array_ref_window
 
     th, dt, horizon = args.teacher_horizon, 0.1, 10
-    rng = np.random.RandomState(args.seed)
+    # a resumed leg must consume a DIFFERENT rng stream than its base run
+    # (see distill_mpc.py — otherwise legs redraw identical rollouts)
+    seed = args.seed
+    if args.base_model is not None:
+        seed = args.seed + (
+            int.from_bytes(args.base_model.encode(), "little") % 100003
+        )
+    rng = np.random.RandomState(seed)
     dyn = quad_params()
     bank = load_trajectory_bank(ensure_trajectory_bank(args.data_dir))
     bank_test = load_trajectory_bank(args.data_dir, test=True)
@@ -236,12 +243,24 @@ def main():
         # don't dominate the mix)
         from apg_trajectory_tracking_tpu.utils.checkpoints import (
             load_checkpoint,
+            resolve_model_dir,
         )
 
-        net = load_checkpoint(
-            os.path.join("trained_models", "quad", args.base_model),
-            "model_quad", net,
-        )
+        base_dir = resolve_model_dir(args.base_model, "quad")
+        with open(os.path.join(base_dir, "config.json")) as f:
+            base_cfg = json.load(f)
+        if base_cfg.get("hidden", 8) != args.hidden:
+            raise SystemExit(
+                f"--base_model was trained with hidden="
+                f"{base_cfg.get('hidden', 8)}; pass --hidden to match"
+            )
+        if base_cfg.get("net_window", base_cfg["horizon"]) != th:
+            raise SystemExit(
+                f"--base_model was trained with net_window="
+                f"{base_cfg.get('net_window', base_cfg['horizon'])}; "
+                f"pass --teacher_horizon to match"
+            )
+        net = load_checkpoint(base_dir, "model_quad", net)
         opt_state = opt.init(net)
     else:
         net, opt_state = fit_stage(net, opt_state, data, args.steps)
@@ -252,6 +271,7 @@ def main():
     best_net, best_err = net, m["mean_divergence"]
 
     # ---- phase 2: DAgger on student sequences -------------------------------
+    saved = False
     for it in range(args.dagger_iters):
         refs = refs_from(bank, args.dagger_rollouts)
         roll = follow_trajectories(
@@ -281,13 +301,13 @@ def main():
             # checkpoint every improvement — DAgger rounds are minutes
             # each, so a long run never loses its best student
             _save(best_net, args, horizon, dt, th)
+            saved = True
     print(f"best err {best_err:.4f}")
-    _save(best_net, args, horizon, dt, th)
+    if not saved:  # no round improved: persist the (resumed) best once
+        _save(best_net, args, horizon, dt, th)
 
 
 def _save(net, args, horizon, dt, th):
-    import os
-
     from apg_trajectory_tracking_tpu.utils.checkpoints import (
         save_checkpoint,
     )

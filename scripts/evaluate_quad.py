@@ -34,8 +34,11 @@ def load_quad_controller(model_path, epoch=""):
         else cfg["action_dim"]
     )
     if mode == "LSTM":
+        # wide-window recurrent students size the conv-ref branch by
+        # net_window, same as the MLP branch below
         template = init_lstm_net(
-            jax.random.PRNGKey(0), 15, cfg["horizon"], cfg["ref_dim"],
+            jax.random.PRNGKey(0), 15,
+            cfg.get("net_window", cfg["horizon"]), cfg["ref_dim"],
             out_dim, conv=True, hidden=cfg.get("hidden", 8),
         )
     else:
@@ -310,17 +313,19 @@ def main():
     n = args.eval
     init_state = jnp.zeros((n, 12), dtype=jnp.float32).at[:, 2].set(3.0)
     max_dist = cfg.get("max_drone_dist", 0.25)
+    # wide-window students consume net_window reference rows per step
+    win_rows = cfg.get("net_window", horizon)
 
     if args.ref == "hover":
         target = jnp.array([0.0, 0.0, 3.0])
-        window_fn = lambda s: R.hover_ref_window(target, s, dt, horizon)
+        window_fn = lambda s: R.hover_ref_window(target, s, dt, win_rows)
         project_fn = lambda p: target
     elif args.ref == "straight":
         s0 = R.straight_init(
             jnp.array([0.0, 0.0, 3.0]), jnp.array([1.0, 0.3, 0.1])
         )
         window_fn = lambda s: R.straight_ref_window(
-            s0, s, dt, horizon, max_dist
+            s0, s, dt, win_rows, max_dist
         )
         project_fn = lambda p: R.straight_project(s0, p)
     else:  # circle
@@ -329,7 +334,7 @@ def main():
             radius=2.0, direction=1.0, plane=(0, 1),
         )
         window_fn = lambda s: R.circle_ref_window(
-            c, s, dt, horizon, max_dist, (0, 1)
+            c, s, dt, win_rows, max_dist, (0, 1)
         )
         project_fn = lambda p: R.circle_project(c, p, (0, 1))
 
@@ -341,7 +346,9 @@ def main():
         )
 
         an_kwargs["net_apply"] = lstm_net_apply
-        an_kwargs["net_carry"] = init_lstm_state(n)
+        an_kwargs["net_carry"] = init_lstm_state(
+            n, hidden=cfg.get("hidden", 8)
+        )
     roll = follow_analytic(
         net, dyn, window_fn, project_fn, init_state,
         thresh_div=1.0, thresh_stable=1.0, horizon=horizon, dt=dt,

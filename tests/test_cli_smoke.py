@@ -55,6 +55,27 @@ def test_evaluate_quad_animate(monkeypatch, capsys, tmp_path):
     assert "animation saved" in out
 
 
+def test_evaluate_quad_analytic_wide_window(monkeypatch, capsys):
+    """Wide-window students (net_window != horizon) must run on the
+    analytic-reference path too: windows are generated at net_window
+    rows and the LSTM carry at the checkpoint's cell width (regression —
+    both previously crashed with dot_general shape errors)."""
+    out = _run(
+        "evaluate_quad",
+        ["evaluate_quad.py", "-m", "assets/quad_mpc_distilled_s05",
+         "-a", "2", "-r", "circle"],
+        monkeypatch, capsys,
+    )
+    assert "circle: avg divergence" in out
+    out = _run(
+        "evaluate_quad",
+        ["evaluate_quad.py", "-m", "assets/quad_mpc_distilled_lstm",
+         "-a", "2", "-r", "hover"],
+        monkeypatch, capsys,
+    )
+    assert "hover: avg divergence" in out
+
+
 def test_evaluate_cartpole(monkeypatch, capsys):
     out = _run(
         "evaluate_cartpole",
