@@ -23,8 +23,10 @@ def sgd_momentum(lr):
 def shuffled_batches(key, n_data, batch_size):
     """Random permutation reshaped to (n_batches, batch_size); the tail that
     doesn't fill a batch is dropped (torch DataLoader default keeps it, but
-    a ragged final batch would force a recompile — the data is resampled
-    every few epochs anyway)."""
+    a ragged final batch would force a recompile). No sample is starved:
+    every trainer passes a FRESH per-epoch key, so the dropped tail is a
+    different random subset each epoch and every sample is trained on
+    across epochs (and the buffers are resampled every few epochs on top)."""
     n_batches = n_data // batch_size
     perm = jax.random.permutation(key, n_data)[: n_batches * batch_size]
     return perm.reshape(n_batches, batch_size)
