@@ -273,8 +273,12 @@ def main():
                         help="bank with a >=--eval-file test split")
     parser.add_argument("--apg", nargs="*",
                         default=["assets/quad_trained",
-                                 "assets/quad_minjerk_trained"],
-                        help="APG checkpoints to include")
+                                 "assets/quad_minjerk_trained",
+                                 "assets/quad_mpc_distilled",
+                                 "assets/quad_mpc_distilled_stable",
+                                 "assets/quad_mpc_distilled_lstm"],
+                        help="neural checkpoints to include (the shipped "
+                             "set behind docs/BASELINE_COMPARISON.md)")
     parser.add_argument("--ppo_dir", default="trained_models/quad/ppo_compare")
     parser.add_argument("--train_ppo", action="store_true",
                         help="train quad PPO if no checkpoint exists")
