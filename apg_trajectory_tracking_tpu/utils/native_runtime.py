@@ -1,0 +1,118 @@
+"""ctypes bindings for the native controller runtime (native/).
+
+Builds ``libapgctrl.so`` on demand with the repo Makefile and exposes the
+exported model's decision path to Python — used by the parity tests
+(tests/test_native_runtime.py) and by latency comparisons; production
+Python paths keep using the JAX forward.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+NATIVE_DIR = os.path.join(_REPO, "native")
+
+
+def build_native(force=False):
+    """Compile the native runtime; returns the shared-library path.
+
+    Raises RuntimeError (with the compiler output) on failure so callers
+    (tests) can skip cleanly when no toolchain is available.
+    """
+    lib = os.path.join(NATIVE_DIR, "build", "libapgctrl.so")
+    srcs = [os.path.join(NATIVE_DIR, f)
+            for f in ("apg_controller.cc", "apg_controller.h")]
+    if (not force and os.path.exists(lib)
+            and os.path.getmtime(lib) >= max(os.path.getmtime(s)
+                                             for s in srcs)):
+        return lib
+    proc = subprocess.run(
+        ["make", "-C", NATIVE_DIR, "all"],
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"native build failed:\n{proc.stdout}\n{proc.stderr}"
+        )
+    return lib
+
+
+class NativeController:
+    """A loaded .apgc model (see scripts/export_controller.py)."""
+
+    def __init__(self, model_path, lib_path=None):
+        lib_path = lib_path or build_native()
+        self._lib = ctypes.CDLL(lib_path)
+        self._lib.apgc_load.restype = ctypes.c_void_p
+        self._lib.apgc_load.argtypes = [ctypes.c_char_p]
+        self._lib.apgc_free.argtypes = [ctypes.c_void_p]
+        for fn in ("apgc_forward", "apgc_quad_predict"):
+            getattr(self._lib, fn).restype = ctypes.c_int
+            getattr(self._lib, fn).argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ]
+        self._lib.apgc_info.restype = ctypes.c_int
+        self._lib.apgc_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)
+        ]
+        self._m = self._lib.apgc_load(model_path.encode())
+        if not self._m:
+            raise RuntimeError(f"apgc_load failed for {model_path}")
+        dims = (ctypes.c_int32 * 6)()
+        self._lib.apgc_info(self._m, dims)
+        (self.state_dim, self.window, self.ref_dim, self.out_dim,
+         self.action_dim, conv) = [int(d) for d in dims]
+        self.conv = bool(conv)
+
+    def _buf(self, arr):
+        a = np.ascontiguousarray(arr, dtype=np.float32)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    def forward(self, in_state, in_ref):
+        """Net-only forward on featurized inputs; returns (out_dim,)
+        sigmoid-activated actions."""
+        s, sp = self._buf(in_state)
+        r, rp = self._buf(in_ref)
+        assert s.size == self.state_dim and r.size == self.window * self.ref_dim
+        out = np.empty(self.out_dim, dtype=np.float32)
+        rc = self._lib.apgc_forward(
+            self._m, sp, rp, out.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float))
+        )
+        if rc != 0:
+            raise RuntimeError("apgc_forward failed")
+        return out
+
+    def quad_predict(self, state, ref_abs):
+        """Full quad decision: raw (12,) state + absolute (window, 9)
+        reference window -> (out_dim,) actions in [0, 1]."""
+        s, sp = self._buf(state)
+        r, rp = self._buf(ref_abs)
+        assert s.size == 12 and r.size == self.window * 9
+        out = np.empty(self.out_dim, dtype=np.float32)
+        rc = self._lib.apgc_quad_predict(
+            self._m, sp, rp, out.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float))
+        )
+        if rc != 0:
+            raise RuntimeError("apgc_quad_predict failed (not a quad model?)")
+        return out
+
+    def close(self):
+        if getattr(self, "_m", None):
+            self._lib.apgc_free(self._m)
+            self._m = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

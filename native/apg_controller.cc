@@ -1,0 +1,326 @@
+/* Implementation of the standalone controller runtime. See apg_controller.h.
+ *
+ * File format (written by scripts/export_controller.py):
+ *   magic "APGC1\n" (6 bytes)
+ *   uint32 little-endian header length
+ *   JSON header: dims + ordered tensor table [["name", [shape...]], ...]
+ *   raw float32 little-endian tensor data in table order
+ *
+ * The header is parsed with a minimal purpose-built scanner (the exporter
+ * controls the writer, so the accepted grammar is the exporter's output,
+ * not general JSON).
+ */
+#include "apg_controller.h"
+
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Tensor {
+  std::vector<int> shape;
+  std::vector<float> data;
+  size_t size() const {
+    size_t n = 1;
+    for (int d : shape) n *= (size_t)d;
+    return n;
+  }
+};
+
+}  // namespace
+
+struct apgc_model {
+  int state_dim = 0, window = 0, ref_dim = 0, out_dim = 0;
+  int action_dim = 0, hidden = 0;
+  bool conv = false;
+  bool quad = false;
+  std::map<std::string, Tensor> tensors;
+  /* scratch buffers sized at load so predict() never allocates */
+  mutable std::vector<float> in_state_buf, in_ref_buf, s_hidden, ref_flat,
+      concat, h1, h2;
+};
+
+namespace {
+
+/* --- minimal header parsing ------------------------------------------- */
+
+bool find_int(const std::string &h, const char *key, int *out) {
+  std::string pat = std::string("\"") + key + "\":";
+  size_t p = h.find(pat);
+  if (p == std::string::npos) return false;
+  *out = (int)strtol(h.c_str() + p + pat.size(), nullptr, 10);
+  return true;
+}
+
+bool find_bool(const std::string &h, const char *key, bool *out) {
+  std::string pat = std::string("\"") + key + "\":";
+  size_t p = h.find(pat);
+  if (p == std::string::npos) return false;
+  *out = h.compare(p + pat.size(), 4, "true") == 0;
+  return true;
+}
+
+bool find_str(const std::string &h, const char *key, std::string *out) {
+  std::string pat = std::string("\"") + key + "\":\"";
+  size_t p = h.find(pat);
+  if (p == std::string::npos) return false;
+  size_t s = p + pat.size();
+  size_t e = h.find('"', s);
+  if (e == std::string::npos) return false;
+  *out = h.substr(s, e - s);
+  return true;
+}
+
+/* Parse the ordered tensor table: "tensors":[["name",[d0,d1]],...]
+ * Each entry is ["<name>",[ints]]; entries are separated by ','. */
+bool parse_tensor_table(const std::string &h,
+                        std::vector<std::pair<std::string, std::vector<int>>>
+                            *table) {
+  size_t p = h.find("\"tensors\":[");
+  if (p == std::string::npos) return false;
+  p += strlen("\"tensors\":[");
+  for (;;) {
+    while (p < h.size() && (h[p] == ' ' || h[p] == ',')) ++p;
+    if (p >= h.size() || h[p] == ']') return true; /* end of table */
+    if (h[p] != '[') return false;                 /* entry must open */
+    size_t name_s = h.find('"', p);
+    if (name_s == std::string::npos) return false;
+    size_t name_e = h.find('"', name_s + 1);
+    if (name_e == std::string::npos) return false;
+    std::string name = h.substr(name_s + 1, name_e - name_s - 1);
+    size_t shape_s = h.find('[', name_e);
+    size_t shape_e = h.find(']', shape_s);
+    if (shape_s == std::string::npos || shape_e == std::string::npos)
+      return false;
+    std::vector<int> shape;
+    const char *c = h.c_str() + shape_s + 1;
+    while (c < h.c_str() + shape_e) {
+      char *end;
+      long v = strtol(c, &end, 10);
+      if (end == c) break;
+      shape.push_back((int)v);
+      c = end;
+      while (*c == ',' || *c == ' ') ++c;
+    }
+    table->emplace_back(name, shape);
+    p = h.find(']', shape_e + 1); /* entry-closing bracket */
+    if (p == std::string::npos) return false;
+    ++p;
+  }
+}
+
+/* --- math kernels ------------------------------------------------------ */
+
+/* y = x @ W + b with W stored (in, out) row-major, matching the npz. */
+void linear(const Tensor &w, const Tensor &b, const float *x, float *y) {
+  const int in = w.shape[0], out = w.shape[1];
+  for (int j = 0; j < out; ++j) y[j] = b.data[j];
+  for (int i = 0; i < in; ++i) {
+    const float xi = x[i];
+    const float *wr = &w.data[(size_t)i * out];
+    for (int j = 0; j < out; ++j) y[j] += xi * wr[j];
+  }
+}
+
+inline void tanh_inplace(float *x, int n) {
+  for (int i = 0; i < n; ++i) x[i] = std::tanh(x[i]);
+}
+
+inline void sigmoid_inplace(float *x, int n) {
+  for (int i = 0; i < n; ++i) x[i] = 1.0f / (1.0f + std::exp(-x[i]));
+}
+
+}  // namespace
+
+extern "C" {
+
+apgc_model *apgc_load(const char *path) {
+  FILE *f = fopen(path, "rb");
+  if (!f) return nullptr;
+  char magic[6];
+  if (fread(magic, 1, 6, f) != 6 || memcmp(magic, "APGC1\n", 6) != 0) {
+    fclose(f);
+    return nullptr;
+  }
+  uint32_t hlen = 0;
+  if (fread(&hlen, 4, 1, f) != 1 || hlen > (1u << 20)) {
+    fclose(f);
+    return nullptr;
+  }
+  std::string header(hlen, '\0');
+  if (fread(&header[0], 1, hlen, f) != hlen) {
+    fclose(f);
+    return nullptr;
+  }
+
+  auto *m = new apgc_model();
+  std::string system;
+  bool ok = find_int(header, "state_dim", &m->state_dim) &&
+            find_int(header, "window", &m->window) &&
+            find_int(header, "ref_dim", &m->ref_dim) &&
+            find_int(header, "out_dim", &m->out_dim) &&
+            find_int(header, "action_dim", &m->action_dim) &&
+            find_int(header, "hidden", &m->hidden) &&
+            find_bool(header, "conv", &m->conv) &&
+            find_str(header, "system", &system);
+  m->quad = (system == "quad");
+
+  std::vector<std::pair<std::string, std::vector<int>>> table;
+  ok = ok && parse_tensor_table(header, &table) && !table.empty();
+  if (ok) {
+    for (auto &entry : table) {
+      Tensor t;
+      t.shape = entry.second;
+      t.data.resize(t.size());
+      if (fread(t.data.data(), 4, t.size(), f) != t.size()) {
+        ok = false;
+        break;
+      }
+      m->tensors[entry.first] = std::move(t);
+    }
+  }
+  fclose(f);
+
+  const char *needed[] = {"states_in.w", "states_in.b", "fc1.w", "fc1.b",
+                          "fc2.w",       "fc2.b",       "fc3.w", "fc3.b",
+                          "fc_out.w",    "fc_out.b"};
+  for (const char *n : needed) ok = ok && m->tensors.count(n) > 0;
+  ok = ok && (m->conv ? m->tensors.count("conv_ref.w") > 0 &&
+                            m->tensors.count("conv_ref.b") > 0
+                      : m->tensors.count("ref_in.w") > 0 &&
+                            m->tensors.count("ref_in.b") > 0);
+  if (!ok) {
+    delete m;
+    return nullptr;
+  }
+
+  const int ref_flat_len =
+      m->conv ? m->tensors["conv_ref.w"].shape[0] * (m->window - 2)
+              : m->hidden;
+  m->in_state_buf.resize(m->state_dim);
+  m->in_ref_buf.resize((size_t)m->window * m->ref_dim);
+  m->s_hidden.resize(m->hidden);
+  m->ref_flat.resize(ref_flat_len);
+  m->concat.resize(m->hidden + ref_flat_len);
+  m->h1.resize(m->hidden);
+  m->h2.resize(m->hidden);
+  return m;
+}
+
+void apgc_free(apgc_model *m) { delete m; }
+
+int apgc_info(const apgc_model *m, int32_t *dims) {
+  if (!m || !dims) return -1;
+  dims[0] = m->state_dim;
+  dims[1] = m->window;
+  dims[2] = m->ref_dim;
+  dims[3] = m->out_dim;
+  dims[4] = m->action_dim;
+  dims[5] = m->conv ? 1 : 0;
+  return 0;
+}
+
+int apgc_forward(const apgc_model *m, const float *in_state,
+                 const float *in_ref, float *out) {
+  if (!m || !in_state || !in_ref || !out) return -1;
+  /* state branch: tanh(Linear) */
+  linear(m->tensors.at("states_in.w"), m->tensors.at("states_in.b"), in_state,
+         m->s_hidden.data());
+  tanh_inplace(m->s_hidden.data(), m->hidden);
+
+  /* reference branch */
+  if (m->conv) {
+    /* valid Conv1d over the horizon axis with torch NCL semantics:
+     * x[i][l] = in_ref[l][i]; out[o][l] = relu(b_o + sum_{i,k} w[o][i][k]
+     * x[i][l+k]); flattened row-major over (O, L-K+1) — matches
+     * models/mlp.py::_ref_branch. */
+    const Tensor &w = m->tensors.at("conv_ref.w");
+    const Tensor &b = m->tensors.at("conv_ref.b");
+    const int O = w.shape[0], I = w.shape[1], K = w.shape[2];
+    const int L = m->window, Lo = L - K + 1;
+    for (int o = 0; o < O; ++o) {
+      for (int l = 0; l < Lo; ++l) {
+        float acc = b.data[o];
+        for (int i = 0; i < I; ++i) {
+          const float *wr = &w.data[((size_t)o * I + i) * K];
+          for (int k = 0; k < K; ++k)
+            acc += wr[k] * in_ref[(size_t)(l + k) * m->ref_dim + i];
+        }
+        m->ref_flat[(size_t)o * Lo + l] = acc > 0.0f ? acc : 0.0f;
+      }
+    }
+  } else {
+    linear(m->tensors.at("ref_in.w"), m->tensors.at("ref_in.b"), in_ref,
+           m->ref_flat.data());
+    tanh_inplace(m->ref_flat.data(), (int)m->ref_flat.size());
+  }
+
+  /* trunk */
+  memcpy(m->concat.data(), m->s_hidden.data(), sizeof(float) * m->hidden);
+  memcpy(m->concat.data() + m->hidden, m->ref_flat.data(),
+         sizeof(float) * m->ref_flat.size());
+  linear(m->tensors.at("fc1.w"), m->tensors.at("fc1.b"), m->concat.data(),
+         m->h1.data());
+  tanh_inplace(m->h1.data(), m->hidden);
+  linear(m->tensors.at("fc2.w"), m->tensors.at("fc2.b"), m->h1.data(),
+         m->h2.data());
+  tanh_inplace(m->h2.data(), m->hidden);
+  linear(m->tensors.at("fc3.w"), m->tensors.at("fc3.b"), m->h2.data(),
+         m->h1.data());
+  tanh_inplace(m->h1.data(), m->hidden);
+  linear(m->tensors.at("fc_out.w"), m->tensors.at("fc_out.b"), m->h1.data(),
+         out);
+  sigmoid_inplace(out, m->out_dim);
+  return 0;
+}
+
+int apgc_quad_predict(const apgc_model *m, const float *state,
+                      const float *ref_abs, float *out) {
+  if (!m || !m->quad || m->state_dim != 15 || m->ref_dim != 9) return -1;
+  /* quad_state_features (dataset.py:52-69): world vel, first two columns
+   * of world_to_body (row-major), body vel, angular vel. Position is
+   * zeroed before featurization but unused by the features. */
+  const float roll = state[3], pitch = state[4], yaw = state[5];
+  const float Cy = std::cos(yaw), Sy = std::sin(yaw);
+  const float Cp = std::cos(pitch), Sp = std::sin(pitch);
+  const float Cr = std::cos(roll), Sr = std::sin(roll);
+  const float R[3][3] = {
+      {Cy * Cp, Sy * Cp, -Sp},
+      {Cy * Sp * Sr - Cr * Sy, Cr * Cy + Sr * Sy * Sp, Cp * Sr},
+      {Cy * Sp * Cr + Sr * Sy, Cr * Sy * Sp - Cy * Sr, Cr * Cp}};
+  const float *vel = state + 6, *av = state + 9;
+  float *fs = m->in_state_buf.data();
+  fs[0] = vel[0];
+  fs[1] = vel[1];
+  fs[2] = vel[2];
+  fs[3] = R[0][0];
+  fs[4] = R[0][1];
+  fs[5] = R[1][0];
+  fs[6] = R[1][1];
+  fs[7] = R[2][0];
+  fs[8] = R[2][1];
+  for (int i = 0; i < 3; ++i)
+    fs[9 + i] = R[i][0] * vel[0] + R[i][1] * vel[1] + R[i][2] * vel[2];
+  fs[12] = av[0];
+  fs[13] = av[1];
+  fs[14] = av[2];
+
+  /* in_ref rows (quad_prepare_data, dataset.py:90-96):
+   * [ref_pos - pos, ref_vel, ref_vel - vel] */
+  float *ir = m->in_ref_buf.data();
+  for (int t = 0; t < m->window; ++t) {
+    const float *r = ref_abs + (size_t)t * 9;
+    float *o = ir + (size_t)t * 9;
+    for (int i = 0; i < 3; ++i) o[i] = r[i] - state[i];
+    for (int i = 0; i < 3; ++i) o[3 + i] = r[6 + i];
+    for (int i = 0; i < 3; ++i) o[6 + i] = r[6 + i] - vel[i];
+  }
+  return apgc_forward(m, fs, ir, out);
+}
+
+}  /* extern "C" */

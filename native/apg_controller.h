@@ -1,0 +1,54 @@
+/* apg_controller — standalone C runtime for trained APG controller nets.
+ *
+ * The deployment target of the reference framework (ICRA'23 APG paper) is a
+ * microcontroller-class onboard computer running the trained controller in a
+ * 10 Hz loop; its Python stack never ships there. This runtime executes the
+ * full decision path of an exported checkpoint — featurization
+ * (data/dataset.py::quad_prepare_data), the hutter_model-style MLP
+ * (models/mlp.py::control_net_apply), and the output sigmoid
+ * (controllers wrapper convention) — in dependency-free C++ from a single
+ * model file written by scripts/export_controller.py.
+ *
+ * Bit-level contract: identical math to the JAX forward (same op order per
+ * layer; accumulation order inside a dot product may differ, giving float
+ * differences ~1e-6), verified by tests/test_native_runtime.py.
+ */
+#ifndef APG_CONTROLLER_H_
+#define APG_CONTROLLER_H_
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct apgc_model apgc_model;
+
+/* Load an exported .apgc model file. Returns NULL on failure. */
+apgc_model *apgc_load(const char *path);
+
+void apgc_free(apgc_model *m);
+
+/* Fill dims[0..5] = {state_dim, window, ref_dim, out_dim, action_dim, conv}.
+ * Returns 0 on success. */
+int apgc_info(const apgc_model *m, int32_t *dims);
+
+/* Net-only forward on pre-featurized inputs:
+ *   in_state: (state_dim,)    in_ref: (window, ref_dim) row-major
+ *   out: (out_dim,) sigmoid-activated actions.
+ * Returns 0 on success. */
+int apgc_forward(const apgc_model *m, const float *in_state,
+                 const float *in_ref, float *out);
+
+/* Full quad decision path: raw state (12,) + ABSOLUTE reference window
+ * (window, 9) row-major -> (out_dim,) actions in [0, 1]. Featurizes
+ * exactly like quad_prepare_data + quad_state_features. Returns 0 on
+ * success, -1 if the model was not exported from a quad checkpoint. */
+int apgc_quad_predict(const apgc_model *m, const float *state,
+                      const float *ref_abs, float *out);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* APG_CONTROLLER_H_ */

@@ -1,0 +1,70 @@
+/* apg_latency — per-decision latency of the native controller runtime.
+ *
+ * Usage: apg_latency <model.apgc> [iters]
+ *
+ * Times the FULL quad decision path (featurize + MLP forward + sigmoid)
+ * on a stream of perturbed states/references (fresh inputs each call so
+ * nothing is cached away), prints median/mean nanoseconds per decision as
+ * one JSON line. Complements scripts/latency_bench.py (the JAX-CPU
+ * numbers in docs/LATENCY.md).
+ */
+#include <chrono>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <algorithm>
+#include <vector>
+
+#include "apg_controller.h"
+
+int main(int argc, char **argv) {
+  if (argc < 2) {
+    fprintf(stderr, "usage: %s <model.apgc> [iters]\n", argv[0]);
+    return 2;
+  }
+  const int iters = argc > 2 ? atoi(argv[2]) : 100000;
+  apgc_model *m = apgc_load(argv[1]);
+  if (!m) {
+    fprintf(stderr, "failed to load %s\n", argv[1]);
+    return 1;
+  }
+  int32_t dims[6];
+  apgc_info(m, dims);
+  const int window = dims[1], out_dim = dims[3];
+
+  std::vector<float> state(12), ref((size_t)window * 9), out(out_dim);
+  unsigned rng = 12345;
+  auto frand = [&rng]() {
+    rng = rng * 1664525u + 1013904223u;
+    return ((float)(rng >> 9) / (float)(1 << 23) - 1.0f) * 0.3f;
+  };
+  for (auto &v : state) v = frand();
+  for (auto &v : ref) v = frand();
+
+  /* warm-up */
+  for (int i = 0; i < 1000; ++i) apgc_quad_predict(m, state.data(), ref.data(), out.data());
+
+  std::vector<double> ns(iters);
+  volatile float sink = 0.0f;
+  for (int i = 0; i < iters; ++i) {
+    state[6] += 1e-6f * (float)(i % 7); /* fresh input each call */
+    ref[0] += 1e-6f;
+    auto t0 = std::chrono::steady_clock::now();
+    apgc_quad_predict(m, state.data(), ref.data(), out.data());
+    auto t1 = std::chrono::steady_clock::now();
+    ns[i] = (double)std::chrono::duration_cast<std::chrono::nanoseconds>(
+                t1 - t0)
+                .count();
+    sink += out[0];
+  }
+  std::sort(ns.begin(), ns.end());
+  double mean = 0.0;
+  for (double v : ns) mean += v;
+  mean /= iters;
+  printf(
+      "{\"metric\": \"native_quad_decision_latency\", \"median_ns\": %.0f, "
+      "\"mean_ns\": %.0f, \"p99_ns\": %.0f, \"iters\": %d, \"sink\": %.3f}\n",
+      ns[iters / 2], mean, ns[(size_t)(iters * 0.99)], iters, (double)sink);
+  apgc_free(m);
+  return 0;
+}

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Export a trained controller checkpoint to the native runtime format.
+
+Writes a single ``.apgc`` file consumed by ``native/apg_controller.cc`` —
+the deployment artifact for running a trained controller outside Python
+(onboard computers, the reference's actual target; README "Deployment").
+
+Format: magic ``APGC1\\n`` + uint32 header length + JSON header (dims +
+ordered tensor table) + raw little-endian float32 tensor data.
+
+Usage:
+    python scripts/export_controller.py -m assets/quad_trained -o quad.apgc
+"""
+
+import argparse
+import json
+import os
+import struct
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+from apg_trajectory_tracking_tpu.models import init_control_net
+from apg_trajectory_tracking_tpu.utils.checkpoints import (
+    load_checkpoint,
+    load_config,
+    resolve_model_dir,
+)
+
+# (header name, params key, tuple index) in file order
+_TENSOR_ORDER = [
+    ("states_in.w", "states_in", 0),
+    ("states_in.b", "states_in", 1),
+    ("fc1.w", "fc1", 0),
+    ("fc1.b", "fc1", 1),
+    ("fc2.w", "fc2", 0),
+    ("fc2.b", "fc2", 1),
+    ("fc3.w", "fc3", 0),
+    ("fc3.b", "fc3", 1),
+    ("fc_out.w", "fc_out", 0),
+    ("fc_out.b", "fc_out", 1),
+]
+
+
+def export_control_net(model_dir, out_path, name=None):
+    """Export a concurrent-mode control net checkpoint to ``out_path``.
+
+    Returns the header dict. Raises ValueError for recurrent checkpoints
+    (the native runtime currently implements the concurrent MLP path).
+    """
+    cfg = load_config(model_dir)
+    mode = cfg.get("train_mode", "concurrent")
+    if mode != "concurrent":
+        raise ValueError(
+            f"native export supports concurrent-mode checkpoints; got {mode}"
+        )
+    system = cfg.get("system", "quad")
+    state_dim = 15 if system == "quad" else 9
+    window = cfg.get("net_window", cfg["horizon"])
+    out_dim = cfg["action_dim"] * cfg["horizon"]
+    conv = system == "quad"
+    hidden = cfg.get("hidden", 64)
+    template = init_control_net(
+        jax.random.PRNGKey(0), state_dim, window, cfg["ref_dim"],
+        out_dim, conv=conv, hidden=hidden,
+    )
+    ckpt_name = name or ("model_quad" if system == "quad" else
+                         f"model_{system}")
+    params = load_checkpoint(model_dir, ckpt_name, template)
+
+    order = list(_TENSOR_ORDER)
+    if conv:
+        order = [("conv_ref.w", "conv_ref", 0),
+                 ("conv_ref.b", "conv_ref", 1)] + order
+    else:
+        order = [("ref_in.w", "ref_in", 0),
+                 ("ref_in.b", "ref_in", 1)] + order
+
+    tensors = []
+    blobs = []
+    for hname, key, idx in order:
+        arr = np.asarray(params[key][idx], dtype="<f4")
+        tensors.append([hname, list(arr.shape)])
+        blobs.append(arr.tobytes(order="C"))
+
+    header = {
+        "kind": "control_net",
+        "system": system,
+        "conv": conv,
+        "state_dim": state_dim,
+        "window": window,
+        "ref_dim": cfg["ref_dim"],
+        "out_dim": out_dim,
+        "action_dim": cfg["action_dim"],
+        "hidden": hidden,
+        "horizon": cfg["horizon"],
+        "tensors": tensors,
+    }
+    hbytes = json.dumps(header, separators=(",", ":")).encode()
+    with open(out_path, "wb") as f:
+        f.write(b"APGC1\n")
+        f.write(struct.pack("<I", len(hbytes)))
+        f.write(hbytes)
+        for blob in blobs:
+            f.write(blob)
+    return header
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-m", "--model", required=True,
+                    help="checkpoint dir or run name")
+    ap.add_argument("-o", "--out", default=None,
+                    help="output .apgc path (default: <model_dir>/controller.apgc)")
+    ap.add_argument("--system", default="quad",
+                    help="system for run-name resolution (default quad)")
+    args = ap.parse_args()
+
+    model_dir = resolve_model_dir(args.model, args.system)
+    out_path = args.out or os.path.join(model_dir, "controller.apgc")
+    header = export_control_net(model_dir, out_path)
+    size = os.path.getsize(out_path)
+    print(json.dumps({"out": out_path, "bytes": size,
+                      "system": header["system"],
+                      "out_dim": header["out_dim"]}))
+
+
+if __name__ == "__main__":
+    main()

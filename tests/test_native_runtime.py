@@ -1,0 +1,191 @@
+"""Parity + integration tests for the native C++ controller runtime.
+
+The native runtime (native/apg_controller.cc) must reproduce the exact
+decision path of the Python stack: featurization (quad_prepare_data),
+control-net forward (control_net_apply), sigmoid. Tolerances are float32
+accumulation-order noise only — any structural mismatch shows up orders of
+magnitude above them.
+"""
+
+import json
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QUAD_MODEL = os.path.join(REPO, "assets", "quad_trained")
+
+
+@pytest.fixture(scope="session")
+def native_lib():
+    from apg_trajectory_tracking_tpu.utils.native_runtime import build_native
+
+    try:
+        return build_native()
+    except (RuntimeError, FileNotFoundError) as exc:  # no toolchain
+        pytest.skip(f"native toolchain unavailable: {exc}")
+
+
+@pytest.fixture(scope="session")
+def exported_quad(native_lib, tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from export_controller import export_control_net
+
+    out = str(tmp_path_factory.mktemp("apgc") / "quad.apgc")
+    header = export_control_net(QUAD_MODEL, out)
+    assert header["system"] == "quad" and header["conv"] is True
+    return out
+
+
+@pytest.fixture(scope="session")
+def quad_net():
+    import jax
+
+    from apg_trajectory_tracking_tpu.models import init_control_net
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        load_checkpoint,
+        load_config,
+    )
+
+    cfg = load_config(QUAD_MODEL)
+    template = init_control_net(
+        jax.random.PRNGKey(0), 15, cfg["horizon"], cfg["ref_dim"],
+        cfg["action_dim"] * cfg["horizon"], conv=True,
+    )
+    return load_checkpoint(QUAD_MODEL, "model_quad", template), cfg
+
+
+def test_forward_parity(exported_quad, quad_net):
+    """Net-only forward on featurized inputs matches JAX to f32 noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.models import control_net_apply
+    from apg_trajectory_tracking_tpu.utils.native_runtime import (
+        NativeController,
+    )
+
+    net, _ = quad_net
+    nc = NativeController(exported_quad)
+    assert (nc.state_dim, nc.window, nc.ref_dim, nc.out_dim) == (15, 10, 9, 40)
+
+    rng = np.random.RandomState(0)
+    in_state = rng.randn(32, 15).astype(np.float32)
+    in_ref = rng.randn(32, 10, 9).astype(np.float32)
+    jx = np.asarray(
+        jax.nn.sigmoid(
+            control_net_apply(net, jnp.asarray(in_state), jnp.asarray(in_ref))
+        )
+    )
+    for b in range(32):
+        out = nc.forward(in_state[b], in_ref[b])
+        np.testing.assert_allclose(out, jx[b], atol=5e-6)
+
+
+def test_quad_predict_parity(exported_quad, quad_net):
+    """Full decision path (featurize + forward) matches JAX."""
+    import jax
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.data.dataset import quad_prepare_data
+    from apg_trajectory_tracking_tpu.models import control_net_apply
+    from apg_trajectory_tracking_tpu.utils.native_runtime import (
+        NativeController,
+    )
+
+    net, _ = quad_net
+    nc = NativeController(exported_quad)
+    rng = np.random.RandomState(1)
+    states = rng.randn(32, 12).astype(np.float32) * 0.4
+    refs = rng.randn(32, 10, 9).astype(np.float32) * 0.4
+    in_state, _, in_ref, _ = quad_prepare_data(
+        jnp.asarray(states), jnp.asarray(refs)
+    )
+    jx = np.asarray(
+        jax.nn.sigmoid(control_net_apply(net, in_state, in_ref))
+    )
+    for b in range(32):
+        out = nc.quad_predict(states[b], refs[b])
+        np.testing.assert_allclose(out, jx[b], atol=5e-6)
+
+
+def test_closed_loop_native(exported_quad, quad_net):
+    """30 closed-loop dynamics steps driven by native actions track the
+    JAX-driven rollout."""
+    import jax
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.data.dataset import quad_prepare_data
+    from apg_trajectory_tracking_tpu.dynamics.quad import (
+        quad_params,
+        quad_step,
+    )
+    from apg_trajectory_tracking_tpu.models import control_net_apply
+    from apg_trajectory_tracking_tpu.utils.native_runtime import (
+        NativeController,
+    )
+
+    net, cfg = quad_net
+    nc = NativeController(exported_quad)
+    dyn = quad_params()
+    dt = cfg["delta_t"]
+
+    rng = np.random.RandomState(2)
+    ref = np.zeros((45, 9), dtype=np.float32)
+    ref[:, :3] = np.cumsum(
+        rng.randn(45, 3).astype(np.float32) * 0.01, axis=0
+    )
+    s_jax = np.zeros(12, dtype=np.float32)
+    s_nat = np.zeros(12, dtype=np.float32)
+    for t in range(30):
+        window = ref[t:t + 10]
+        # JAX action
+        in_s, _, in_r, _ = quad_prepare_data(
+            jnp.asarray(s_jax[None]), jnp.asarray(window[None])
+        )
+        a_jax = np.asarray(
+            jax.nn.sigmoid(control_net_apply(net, in_s, in_r))
+        )[0, :4]
+        a_nat = nc.quad_predict(s_nat, window)[:4]
+        s_jax = np.asarray(
+            quad_step(dyn, jnp.asarray(s_jax[None]),
+                      jnp.asarray(a_jax[None]), dt)
+        )[0]
+        s_nat_next = np.asarray(
+            quad_step(dyn, jnp.asarray(s_nat[None]),
+                      jnp.asarray(a_nat[None]), dt)
+        )[0]
+        s_nat = s_nat_next
+    np.testing.assert_allclose(s_nat, s_jax, atol=1e-3)
+
+
+def test_export_rejects_recurrent(native_lib, tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from export_controller import export_control_net
+
+    lstm_dir = os.path.join(REPO, "assets", "quad_lstm_trained")
+    if not os.path.isdir(lstm_dir):
+        pytest.skip("no LSTM asset")
+    with pytest.raises(ValueError, match="concurrent"):
+        export_control_net(lstm_dir, str(tmp_path / "x.apgc"))
+
+
+def test_latency_binary(exported_quad):
+    exe = os.path.join(REPO, "native", "build", "apg_latency")
+    if not os.path.exists(exe):
+        pytest.skip("latency binary not built")
+    out = subprocess.run(
+        [exe, exported_quad, "2000"], capture_output=True, text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    rec = json.loads(out.stdout.strip())
+    assert rec["median_ns"] > 0
+    # generous sanity ceiling: one decision well under 1 ms on any CPU
+    assert rec["median_ns"] < 1e6
