@@ -51,7 +51,7 @@ class NativeController:
         self._lib.apgc_load.restype = ctypes.c_void_p
         self._lib.apgc_load.argtypes = [ctypes.c_char_p]
         self._lib.apgc_free.argtypes = [ctypes.c_void_p]
-        for fn in ("apgc_forward", "apgc_quad_predict"):
+        for fn in ("apgc_forward", "apgc_quad_predict", "apgc_wing_predict"):
             getattr(self._lib, fn).restype = ctypes.c_int
             getattr(self._lib, fn).argtypes = [
                 ctypes.c_void_p,
@@ -59,6 +59,12 @@ class NativeController:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
             ]
+        self._lib.apgc_cartpole_predict.restype = ctypes.c_int
+        self._lib.apgc_cartpole_predict.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         self._lib.apgc_info.restype = ctypes.c_int
         self._lib.apgc_info.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)
@@ -104,6 +110,36 @@ class NativeController:
         )
         if rc != 0:
             raise RuntimeError("apgc_quad_predict failed (not a quad model?)")
+        return out
+
+    def wing_predict(self, state, target):
+        """Full wing decision: raw (12,) state + absolute (3,) target
+        waypoint -> (out_dim,) actions in [0, 1]."""
+        s, sp = self._buf(state)
+        t, tp = self._buf(target)
+        assert s.size == 12 and t.size == 3
+        out = np.empty(self.out_dim, dtype=np.float32)
+        rc = self._lib.apgc_wing_predict(
+            self._m, sp, tp, out.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float))
+        )
+        if rc != 0:
+            raise RuntimeError("apgc_wing_predict failed (not a wing model?)")
+        return out
+
+    def cartpole_predict(self, state):
+        """Cartpole decision: raw (4,) state -> (out_dim,) actions in
+        [-1, 1]."""
+        s, sp = self._buf(state)
+        assert s.size == 4
+        out = np.empty(self.out_dim, dtype=np.float32)
+        rc = self._lib.apgc_cartpole_predict(
+            self._m, sp, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        if rc != 0:
+            raise RuntimeError(
+                "apgc_cartpole_predict failed (not a cartpole model?)"
+            )
         return out
 
     def close(self):

@@ -12,6 +12,7 @@
  */
 #include "apg_controller.h"
 
+#include <algorithm>
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
@@ -36,9 +37,12 @@ struct Tensor {
 
 struct apgc_model {
   int state_dim = 0, window = 0, ref_dim = 0, out_dim = 0;
-  int action_dim = 0, hidden = 0;
+  int action_dim = 0, hidden = 0, horizon = 0;
+  float dt = 0.0f;
   bool conv = false;
-  bool quad = false;
+  std::string system;  /* "quad" | "wing" | "cartpole" */
+  bool cartpole_kind = false;
+  std::vector<float> mean, stddev; /* wing featurization constants */
   std::map<std::string, Tensor> tensors;
   /* scratch buffers sized at load so predict() never allocates */
   mutable std::vector<float> in_state_buf, in_ref_buf, s_hidden, ref_flat,
@@ -73,6 +77,33 @@ bool find_str(const std::string &h, const char *key, std::string *out) {
   size_t e = h.find('"', s);
   if (e == std::string::npos) return false;
   *out = h.substr(s, e - s);
+  return true;
+}
+
+bool find_float(const std::string &h, const char *key, float *out) {
+  std::string pat = std::string("\"") + key + "\":";
+  size_t p = h.find(pat);
+  if (p == std::string::npos) return false;
+  *out = strtof(h.c_str() + p + pat.size(), nullptr);
+  return true;
+}
+
+bool find_float_array(const std::string &h, const char *key,
+                      std::vector<float> *out) {
+  std::string pat = std::string("\"") + key + "\":[";
+  size_t p = h.find(pat);
+  if (p == std::string::npos) return false;
+  size_t e = h.find(']', p);
+  if (e == std::string::npos) return false;
+  const char *c = h.c_str() + p + pat.size();
+  while (c < h.c_str() + e) {
+    char *end;
+    float v = strtof(c, &end);
+    if (end == c) break;
+    out->push_back(v);
+    c = end;
+    while (*c == ',' || *c == ' ') ++c;
+  }
   return true;
 }
 
@@ -159,7 +190,7 @@ apgc_model *apgc_load(const char *path) {
   }
 
   auto *m = new apgc_model();
-  std::string system;
+  std::string kind;
   bool ok = find_int(header, "state_dim", &m->state_dim) &&
             find_int(header, "window", &m->window) &&
             find_int(header, "ref_dim", &m->ref_dim) &&
@@ -167,8 +198,16 @@ apgc_model *apgc_load(const char *path) {
             find_int(header, "action_dim", &m->action_dim) &&
             find_int(header, "hidden", &m->hidden) &&
             find_bool(header, "conv", &m->conv) &&
-            find_str(header, "system", &system);
-  m->quad = (system == "quad");
+            find_str(header, "kind", &kind) &&
+            find_str(header, "system", &m->system);
+  m->cartpole_kind = (kind == "cartpole_net");
+  find_int(header, "horizon", &m->horizon);
+  find_float(header, "dt", &m->dt);
+  if (m->system == "wing") {
+    ok = ok && find_float_array(header, "mean", &m->mean) &&
+         find_float_array(header, "std", &m->stddev) &&
+         m->mean.size() == 12 && m->stddev.size() == 12;
+  }
 
   std::vector<std::pair<std::string, std::vector<int>>> table;
   ok = ok && parse_tensor_table(header, &table) && !table.empty();
@@ -185,6 +224,26 @@ apgc_model *apgc_load(const char *path) {
     }
   }
   fclose(f);
+
+  if (m->cartpole_kind) {
+    const char *needed[] = {"fc0.w", "fc0.b", "fc1.w",     "fc1.b",
+                            "fc2.w", "fc2.b", "fc3.w",     "fc3.b",
+                            "fc_out.w",       "fc_out.b"};
+    for (const char *n : needed) ok = ok && m->tensors.count(n) > 0;
+    if (!ok) {
+      delete m;
+      return nullptr;
+    }
+    /* ping-pong scratch sized to the widest layer */
+    size_t w = 0;
+    for (auto &kv : m->tensors)
+      if (kv.second.shape.size() == 2)
+        w = std::max(w, (size_t)kv.second.shape[1]);
+    m->h1.resize(w);
+    m->h2.resize(w);
+    m->in_state_buf.resize(4);
+    return m;
+  }
 
   const char *needed[] = {"states_in.w", "states_in.b", "fc1.w", "fc1.b",
                           "fc2.w",       "fc2.b",       "fc3.w", "fc3.b",
@@ -225,9 +284,40 @@ int apgc_info(const apgc_model *m, int32_t *dims) {
   return 0;
 }
 
+namespace {
+
+/* simple_model.Net (models/simple.py): 4 -> 32 -> 64 -> 64 -> 32 -> out,
+ * tanh everywhere including the output; cart x-position input zeroed. */
+int cartpole_forward(const apgc_model *m, const float *state, float *out) {
+  float *x = m->in_state_buf.data();
+  x[0] = 0.0f;
+  x[1] = state[1];
+  x[2] = state[2];
+  x[3] = state[3];
+  const char *names[] = {"fc0", "fc1", "fc2", "fc3"};
+  const float *cur = x;
+  float *bufs[2] = {m->h1.data(), m->h2.data()};
+  int which = 0;
+  for (const char *n : names) {
+    const Tensor &w = m->tensors.at(std::string(n) + ".w");
+    const Tensor &b = m->tensors.at(std::string(n) + ".b");
+    linear(w, b, cur, bufs[which]);
+    tanh_inplace(bufs[which], w.shape[1]);
+    cur = bufs[which];
+    which ^= 1;
+  }
+  linear(m->tensors.at("fc_out.w"), m->tensors.at("fc_out.b"), cur, out);
+  tanh_inplace(out, m->out_dim);
+  return 0;
+}
+
+}  // namespace
+
 int apgc_forward(const apgc_model *m, const float *in_state,
                  const float *in_ref, float *out) {
-  if (!m || !in_state || !in_ref || !out) return -1;
+  if (!m || !in_state || !out) return -1;
+  if (m->cartpole_kind) return cartpole_forward(m, in_state, out);
+  if (!in_ref) return -1;
   /* state branch: tanh(Linear) */
   linear(m->tensors.at("states_in.w"), m->tensors.at("states_in.b"), in_state,
          m->s_hidden.data());
@@ -281,7 +371,8 @@ int apgc_forward(const apgc_model *m, const float *in_state,
 
 int apgc_quad_predict(const apgc_model *m, const float *state,
                       const float *ref_abs, float *out) {
-  if (!m || !m->quad || m->state_dim != 15 || m->ref_dim != 9) return -1;
+  if (!m || m->system != "quad" || m->state_dim != 15 || m->ref_dim != 9)
+    return -1;
   /* quad_state_features (dataset.py:52-69): world vel, first two columns
    * of world_to_body (row-major), body vel, angular vel. Position is
    * zeroed before featurization but unused by the features. */
@@ -321,6 +412,32 @@ int apgc_quad_predict(const apgc_model *m, const float *state,
     for (int i = 0; i < 3; ++i) o[6 + i] = r[6 + i] - vel[i];
   }
   return apgc_forward(m, fs, ir, out);
+}
+
+int apgc_wing_predict(const apgc_model *m, const float *state,
+                      const float *target, float *out) {
+  if (!m || m->system != "wing" || m->state_dim != 9 || m->ref_dim != 3)
+    return -1;
+  /* wing_prepare_data (dataset.py:100-129): normalized state drops the
+   * position; net reference input = last ramp point relative to the
+   * drone = unit direction * 12 * dt * horizon. */
+  float *fs = m->in_state_buf.data();
+  for (int i = 0; i < 9; ++i)
+    fs[i] = (state[3 + i] - m->mean[3 + i]) / m->stddev[3 + i];
+  float rel[3] = {target[0] - state[0], target[1] - state[1],
+                  target[2] - state[2]};
+  float norm = std::sqrt(rel[0] * rel[0] + rel[1] * rel[1] + rel[2] * rel[2]);
+  norm = std::max(norm, 1e-6f);
+  const float scale = 12.0f * m->dt * (float)m->horizon / norm;
+  float *ir = m->in_ref_buf.data();
+  for (int i = 0; i < 3; ++i) ir[i] = rel[i] * scale;
+  return apgc_forward(m, fs, ir, out);
+}
+
+int apgc_cartpole_predict(const apgc_model *m, const float *state,
+                          float *out) {
+  if (!m || !m->cartpole_kind) return -1;
+  return apgc_forward(m, state, nullptr, out);
 }
 
 }  /* extern "C" */

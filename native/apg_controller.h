@@ -47,6 +47,19 @@ int apgc_forward(const apgc_model *m, const float *in_state,
 int apgc_quad_predict(const apgc_model *m, const float *state,
                       const float *ref_abs, float *out);
 
+/* Full fixed-wing decision path: raw state (12,) + ABSOLUTE target
+ * waypoint (3,) -> (out_dim,) actions in [0, 1]. Featurizes exactly like
+ * wing_prepare_data (z-scored state without position; reference = unit
+ * target direction * 12 * dt * horizon). Returns -1 for non-wing models. */
+int apgc_wing_predict(const apgc_model *m, const float *state,
+                      const float *target, float *out);
+
+/* Cartpole decision: raw state (4,) -> (out_dim,) actions in [-1, 1]
+ * (tanh output, x-position input zeroed, like simple_model.Net).
+ * Returns -1 for non-cartpole models. */
+int apgc_cartpole_predict(const apgc_model *m, const float *state,
+                          float *out);
+
 #ifdef __cplusplus
 }
 #endif

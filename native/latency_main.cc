@@ -32,7 +32,8 @@ int main(int argc, char **argv) {
   apgc_info(m, dims);
   const int window = dims[1], out_dim = dims[3];
 
-  std::vector<float> state(12), ref((size_t)window * 9), out(out_dim);
+  std::vector<float> state(12), ref((size_t)(window > 0 ? window : 1) * 9),
+      out(out_dim);
   unsigned rng = 12345;
   auto frand = [&rng]() {
     rng = rng * 1664525u + 1013904223u;
@@ -41,16 +42,43 @@ int main(int argc, char **argv) {
   for (auto &v : state) v = frand();
   for (auto &v : ref) v = frand();
 
+  /* pick the decision path this model was exported for */
+  const char *system = "quad";
+  auto predict = [&]() {
+    return apgc_quad_predict(m, state.data(), ref.data(), out.data());
+  };
+  if (predict() != 0) {
+    system = "wing";
+    state[3] = 11.5f; /* level flight; z-scoring needs a sane state */
+    if (apgc_wing_predict(m, state.data(), ref.data(), out.data()) != 0) {
+      system = "cartpole";
+      if (apgc_cartpole_predict(m, state.data(), out.data()) != 0) {
+        fprintf(stderr, "unknown model kind\n");
+        apgc_free(m);
+        return 1;
+      }
+    }
+  }
+
+  auto run = [&]() {
+    if (system[0] == 'q')
+      apgc_quad_predict(m, state.data(), ref.data(), out.data());
+    else if (system[0] == 'w')
+      apgc_wing_predict(m, state.data(), ref.data(), out.data());
+    else
+      apgc_cartpole_predict(m, state.data(), out.data());
+  };
+
   /* warm-up */
-  for (int i = 0; i < 1000; ++i) apgc_quad_predict(m, state.data(), ref.data(), out.data());
+  for (int i = 0; i < 1000; ++i) run();
 
   std::vector<double> ns(iters);
   volatile float sink = 0.0f;
   for (int i = 0; i < iters; ++i) {
-    state[6] += 1e-6f * (float)(i % 7); /* fresh input each call */
+    state[1] += 1e-6f * (float)(i % 7); /* fresh input each call */
     ref[0] += 1e-6f;
     auto t0 = std::chrono::steady_clock::now();
-    apgc_quad_predict(m, state.data(), ref.data(), out.data());
+    run();
     auto t1 = std::chrono::steady_clock::now();
     ns[i] = (double)std::chrono::duration_cast<std::chrono::nanoseconds>(
                 t1 - t0)
@@ -62,9 +90,10 @@ int main(int argc, char **argv) {
   for (double v : ns) mean += v;
   mean /= iters;
   printf(
-      "{\"metric\": \"native_quad_decision_latency\", \"median_ns\": %.0f, "
+      "{\"metric\": \"native_%s_decision_latency\", \"median_ns\": %.0f, "
       "\"mean_ns\": %.0f, \"p99_ns\": %.0f, \"iters\": %d, \"sink\": %.3f}\n",
-      ns[iters / 2], mean, ns[(size_t)(iters * 0.99)], iters, (double)sink);
+      system, ns[iters / 2], mean, ns[(size_t)(iters * 0.99)], iters,
+      (double)sink);
   apgc_free(m);
   return 0;
 }

@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
-from apg_trajectory_tracking_tpu.models import init_control_net
+from apg_trajectory_tracking_tpu.data.dataset import WING_MEAN, WING_STD
+from apg_trajectory_tracking_tpu.models import (
+    init_cartpole_net,
+    init_control_net,
+)
 from apg_trajectory_tracking_tpu.utils.checkpoints import (
     load_checkpoint,
     load_config,
@@ -45,60 +49,14 @@ _TENSOR_ORDER = [
 ]
 
 
-def export_control_net(model_dir, out_path, name=None):
-    """Export a concurrent-mode control net checkpoint to ``out_path``.
-
-    Returns the header dict. Raises ValueError for recurrent checkpoints
-    (the native runtime currently implements the concurrent MLP path).
-    """
-    cfg = load_config(model_dir)
-    mode = cfg.get("train_mode", "concurrent")
-    if mode != "concurrent":
-        raise ValueError(
-            f"native export supports concurrent-mode checkpoints; got {mode}"
-        )
-    system = cfg.get("system", "quad")
-    state_dim = 15 if system == "quad" else 9
-    window = cfg.get("net_window", cfg["horizon"])
-    out_dim = cfg["action_dim"] * cfg["horizon"]
-    conv = system == "quad"
-    hidden = cfg.get("hidden", 64)
-    template = init_control_net(
-        jax.random.PRNGKey(0), state_dim, window, cfg["ref_dim"],
-        out_dim, conv=conv, hidden=hidden,
-    )
-    ckpt_name = name or ("model_quad" if system == "quad" else
-                         f"model_{system}")
-    params = load_checkpoint(model_dir, ckpt_name, template)
-
-    order = list(_TENSOR_ORDER)
-    if conv:
-        order = [("conv_ref.w", "conv_ref", 0),
-                 ("conv_ref.b", "conv_ref", 1)] + order
-    else:
-        order = [("ref_in.w", "ref_in", 0),
-                 ("ref_in.b", "ref_in", 1)] + order
-
+def _write_apgc(out_path, header, params, order):
     tensors = []
     blobs = []
     for hname, key, idx in order:
         arr = np.asarray(params[key][idx], dtype="<f4")
         tensors.append([hname, list(arr.shape)])
         blobs.append(arr.tobytes(order="C"))
-
-    header = {
-        "kind": "control_net",
-        "system": system,
-        "conv": conv,
-        "state_dim": state_dim,
-        "window": window,
-        "ref_dim": cfg["ref_dim"],
-        "out_dim": out_dim,
-        "action_dim": cfg["action_dim"],
-        "hidden": hidden,
-        "horizon": cfg["horizon"],
-        "tensors": tensors,
-    }
+    header["tensors"] = tensors
     hbytes = json.dumps(header, separators=(",", ":")).encode()
     with open(out_path, "wb") as f:
         f.write(b"APGC1\n")
@@ -107,6 +65,65 @@ def export_control_net(model_dir, out_path, name=None):
         for blob in blobs:
             f.write(blob)
     return header
+
+
+def export_control_net(model_dir, out_path, name=None):
+    """Export a concurrent-mode checkpoint (quad / wing / cartpole) to
+    ``out_path``. Returns the header dict. Raises ValueError for recurrent
+    checkpoints (the native runtime implements the concurrent paths)."""
+    cfg = load_config(model_dir)
+    mode = cfg.get("train_mode") or "concurrent"
+    if mode != "concurrent":
+        raise ValueError(
+            f"native export supports concurrent-mode checkpoints; got {mode}"
+        )
+    system = cfg.get("system", "quad")
+    out_dim = cfg["action_dim"] * cfg["horizon"]
+    ckpt_name = name or f"model_{system}"
+    header = {
+        "kind": "control_net",
+        "system": system,
+        "out_dim": out_dim,
+        "action_dim": cfg["action_dim"],
+        "horizon": cfg["horizon"],
+        "dt": cfg.get("delta_t", 0.1),
+    }
+
+    if system == "cartpole":
+        template = init_cartpole_net(jax.random.PRNGKey(0), 4, out_dim)
+        params = load_checkpoint(model_dir, ckpt_name, template)
+        header.update(kind="cartpole_net", state_dim=4, window=0,
+                      ref_dim=0, conv=False, hidden=0)
+        order = [(f"{n}.{s}", n, i)
+                 for n in ("fc0", "fc1", "fc2", "fc3", "fc_out")
+                 for s, i in (("w", 0), ("b", 1))]
+        return _write_apgc(out_path, header, params, order)
+
+    state_dim = 15 if system == "quad" else 9
+    window = (cfg.get("net_window") or cfg["horizon"]) if system == "quad" else 1
+    conv = system == "quad"
+    hidden = cfg.get("hidden") or 64
+    template = init_control_net(
+        jax.random.PRNGKey(0), state_dim, window, cfg["ref_dim"],
+        out_dim, conv=conv, hidden=hidden,
+    )
+    params = load_checkpoint(model_dir, ckpt_name, template)
+    header.update(state_dim=state_dim, window=window, ref_dim=cfg["ref_dim"],
+                  conv=conv, hidden=hidden)
+    if system == "wing":
+        # wing featurization constants (dataset.py WING_MEAN/STD; configs
+        # snapshot them as mean/std when present)
+        header["mean"] = [float(v) for v in cfg.get("mean") or WING_MEAN]
+        header["std"] = [float(v) for v in cfg.get("std") or WING_STD]
+
+    order = list(_TENSOR_ORDER)
+    if conv:
+        order = [("conv_ref.w", "conv_ref", 0),
+                 ("conv_ref.b", "conv_ref", 1)] + order
+    else:
+        order = [("ref_in.w", "ref_in", 0),
+                 ("ref_in.b", "ref_in", 1)] + order
+    return _write_apgc(out_path, header, params, order)
 
 
 def main():

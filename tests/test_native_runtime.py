@@ -163,6 +163,99 @@ def test_closed_loop_native(exported_quad, quad_net):
     np.testing.assert_allclose(s_nat, s_jax, atol=1e-3)
 
 
+def test_wing_predict_parity(native_lib, tmp_path):
+    """Wing decision path (z-score featurize + dense-branch net) matches."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from export_controller import export_control_net
+
+    from apg_trajectory_tracking_tpu.data.dataset import (
+        WING_MEAN,
+        WING_STD,
+        wing_prepare_data,
+    )
+    from apg_trajectory_tracking_tpu.models import (
+        control_net_apply,
+        init_control_net,
+    )
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        load_checkpoint,
+        load_config,
+    )
+    from apg_trajectory_tracking_tpu.utils.native_runtime import (
+        NativeController,
+    )
+
+    model_dir = os.path.join(REPO, "assets", "wing_trained")
+    out = str(tmp_path / "wing.apgc")
+    header = export_control_net(model_dir, out)
+    assert header["system"] == "wing" and header["conv"] is False
+
+    cfg = load_config(model_dir)
+    template = init_control_net(
+        jax.random.PRNGKey(0), 9, 1, 3, cfg["action_dim"] * cfg["horizon"],
+        conv=False,
+    )
+    net = load_checkpoint(model_dir, "model_wing", template)
+    nc = NativeController(out)
+
+    rng = np.random.RandomState(3)
+    states = (rng.randn(16, 12) * 0.3).astype(np.float32)
+    states[:, 3] += 11.5  # level flight forward speed (wing_env zero_reset)
+    targets = (rng.randn(16, 3) * 4).astype(np.float32)
+    targets[:, 0] += 30.0
+    mean = jnp.asarray(cfg.get("mean") or WING_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(cfg.get("std") or WING_STD, dtype=jnp.float32)
+    normed, _, rel_ref, _ = wing_prepare_data(
+        jnp.asarray(states), jnp.asarray(targets), mean, std,
+        dt=cfg["delta_t"], horizon=cfg["horizon"],
+    )
+    jx = np.asarray(jax.nn.sigmoid(control_net_apply(net, normed, rel_ref)))
+    for b in range(16):
+        got = nc.wing_predict(states[b], targets[b])
+        np.testing.assert_allclose(got, jx[b], atol=5e-6)
+
+
+def test_cartpole_predict_parity(native_lib, tmp_path):
+    """Cartpole simple-net path (x zeroed, tanh output) matches."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from export_controller import export_control_net
+
+    from apg_trajectory_tracking_tpu.models import (
+        cartpole_net_apply,
+        init_cartpole_net,
+    )
+    from apg_trajectory_tracking_tpu.utils.checkpoints import load_checkpoint
+    from apg_trajectory_tracking_tpu.utils.native_runtime import (
+        NativeController,
+    )
+
+    model_dir = os.path.join(REPO, "assets", "cartpole_trained")
+    out = str(tmp_path / "cartpole.apgc")
+    header = export_control_net(model_dir, out)
+    assert header["kind"] == "cartpole_net"
+
+    template = init_cartpole_net(jax.random.PRNGKey(0), 4, 10)
+    net = load_checkpoint(model_dir, "model_cartpole", template)
+    nc = NativeController(out)
+
+    rng = np.random.RandomState(4)
+    states = (rng.randn(16, 4) * 0.5).astype(np.float32)
+    jx = np.asarray(cartpole_net_apply(net, jnp.asarray(states)))
+    for b in range(16):
+        got = nc.cartpole_predict(states[b])
+        np.testing.assert_allclose(got, jx[b], atol=5e-6)
+
+
 def test_export_rejects_recurrent(native_lib, tmp_path):
     import sys
 
