@@ -65,6 +65,9 @@ class NativeController:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
+        self._lib.apgc_lstm_predict.restype = ctypes.c_int
+        self._lib.apgc_lstm_predict.argtypes = [
+            ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_float)] * 5
         self._lib.apgc_info.restype = ctypes.c_int
         self._lib.apgc_info.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)
@@ -72,11 +75,37 @@ class NativeController:
         self._m = self._lib.apgc_load(model_path.encode())
         if not self._m:
             raise RuntimeError(f"apgc_load failed for {model_path}")
-        dims = (ctypes.c_int32 * 6)()
+        dims = (ctypes.c_int32 * 8)()
         self._lib.apgc_info(self._m, dims)
         (self.state_dim, self.window, self.ref_dim, self.out_dim,
-         self.action_dim, conv) = [int(d) for d in dims]
+         self.action_dim, conv, self.hidden, kind) = [int(d) for d in dims]
         self.conv = bool(conv)
+        self.kind = {0: "control_net", 1: "cartpole_net", 2: "lstm_net"}[kind]
+
+    def init_carry(self):
+        """Zero (h, c) carry for an LSTM model (episode start)."""
+        return (np.zeros(self.hidden, dtype=np.float32),
+                np.zeros(self.hidden, dtype=np.float32))
+
+    def lstm_predict(self, state, ref_abs, carry):
+        """Recurrent quad decision: raw (12,) state + absolute (window, 9)
+        window + (h, c) carry -> ((out_dim,) actions, new (h, c)).
+        The carry arrays are updated in place and returned."""
+        s, sp = self._buf(state)
+        r, rp = self._buf(ref_abs)
+        h, c = carry
+        assert s.size == 12 and r.size == self.window * 9
+        assert h.size == self.hidden and c.size == self.hidden
+        out = np.empty(self.out_dim, dtype=np.float32)
+        rc = self._lib.apgc_lstm_predict(
+            self._m, sp, rp,
+            h.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise RuntimeError("apgc_lstm_predict failed (not LSTM?)")
+        return out, (h, c)
 
     def _buf(self, arr):
         a = np.ascontiguousarray(arr, dtype=np.float32)

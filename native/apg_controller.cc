@@ -42,11 +42,12 @@ struct apgc_model {
   bool conv = false;
   std::string system;  /* "quad" | "wing" | "cartpole" */
   bool cartpole_kind = false;
+  bool lstm_kind = false;
   std::vector<float> mean, stddev; /* wing featurization constants */
   std::map<std::string, Tensor> tensors;
   /* scratch buffers sized at load so predict() never allocates */
   mutable std::vector<float> in_state_buf, in_ref_buf, s_hidden, ref_flat,
-      concat, h1, h2;
+      concat, h1, h2, gates;
 };
 
 namespace {
@@ -201,6 +202,7 @@ apgc_model *apgc_load(const char *path) {
             find_str(header, "kind", &kind) &&
             find_str(header, "system", &m->system);
   m->cartpole_kind = (kind == "cartpole_net");
+  m->lstm_kind = (kind == "lstm_net");
   find_int(header, "horizon", &m->horizon);
   find_float(header, "dt", &m->dt);
   if (m->system == "wing") {
@@ -245,10 +247,16 @@ apgc_model *apgc_load(const char *path) {
     return m;
   }
 
-  const char *needed[] = {"states_in.w", "states_in.b", "fc1.w", "fc1.b",
-                          "fc2.w",       "fc2.b",       "fc3.w", "fc3.b",
-                          "fc_out.w",    "fc_out.b"};
-  for (const char *n : needed) ok = ok && m->tensors.count(n) > 0;
+  if (m->lstm_kind) {
+    const char *needed[] = {"w_ih", "w_hh", "b_ih", "b_hh", "fc_out.w",
+                            "fc_out.b"};
+    for (const char *n : needed) ok = ok && m->tensors.count(n) > 0;
+  } else {
+    const char *needed[] = {"states_in.w", "states_in.b", "fc1.w", "fc1.b",
+                            "fc2.w",       "fc2.b",       "fc3.w", "fc3.b",
+                            "fc_out.w",    "fc_out.b"};
+    for (const char *n : needed) ok = ok && m->tensors.count(n) > 0;
+  }
   ok = ok && (m->conv ? m->tensors.count("conv_ref.w") > 0 &&
                             m->tensors.count("conv_ref.b") > 0
                       : m->tensors.count("ref_in.w") > 0 &&
@@ -260,14 +268,19 @@ apgc_model *apgc_load(const char *path) {
 
   const int ref_flat_len =
       m->conv ? m->tensors["conv_ref.w"].shape[0] * (m->window - 2)
-              : m->hidden;
+              : m->tensors["ref_in.w"].shape[1];
   m->in_state_buf.resize(m->state_dim);
   m->in_ref_buf.resize((size_t)m->window * m->ref_dim);
-  m->s_hidden.resize(m->hidden);
   m->ref_flat.resize(ref_flat_len);
-  m->concat.resize(m->hidden + ref_flat_len);
-  m->h1.resize(m->hidden);
-  m->h2.resize(m->hidden);
+  m->concat.resize(m->state_dim + m->hidden + ref_flat_len);
+  if (m->lstm_kind) {
+    m->gates.resize(4 * (size_t)m->hidden);
+    m->h1.resize(4 * (size_t)m->hidden); /* h@W_hh + b_hh, all 4H slots */
+  } else {
+    m->s_hidden.resize(m->hidden);
+    m->h1.resize(m->hidden);
+    m->h2.resize(m->hidden);
+  }
   return m;
 }
 
@@ -281,6 +294,8 @@ int apgc_info(const apgc_model *m, int32_t *dims) {
   dims[3] = m->out_dim;
   dims[4] = m->action_dim;
   dims[5] = m->conv ? 1 : 0;
+  dims[6] = m->hidden;
+  dims[7] = m->cartpole_kind ? 1 : (m->lstm_kind ? 2 : 0);
   return 0;
 }
 
@@ -313,22 +328,15 @@ int cartpole_forward(const apgc_model *m, const float *state, float *out) {
 
 }  // namespace
 
-int apgc_forward(const apgc_model *m, const float *in_state,
-                 const float *in_ref, float *out) {
-  if (!m || !in_state || !out) return -1;
-  if (m->cartpole_kind) return cartpole_forward(m, in_state, out);
-  if (!in_ref) return -1;
-  /* state branch: tanh(Linear) */
-  linear(m->tensors.at("states_in.w"), m->tensors.at("states_in.b"), in_state,
-         m->s_hidden.data());
-  tanh_inplace(m->s_hidden.data(), m->hidden);
+namespace {
 
-  /* reference branch */
+/* reference branch shared by the MLP and LSTM heads: fills m->ref_flat.
+ * Conv path: valid Conv1d over the horizon axis with torch NCL semantics:
+ * x[i][l] = in_ref[l][i]; out[o][l] = relu(b_o + sum_{i,k} w[o][i][k]
+ * x[i][l+k]); flattened row-major over (O, L-K+1) — matches
+ * models/mlp.py::_ref_branch / models/rnn.py. */
+void ref_branch(const apgc_model *m, const float *in_ref) {
   if (m->conv) {
-    /* valid Conv1d over the horizon axis with torch NCL semantics:
-     * x[i][l] = in_ref[l][i]; out[o][l] = relu(b_o + sum_{i,k} w[o][i][k]
-     * x[i][l+k]); flattened row-major over (O, L-K+1) — matches
-     * models/mlp.py::_ref_branch. */
     const Tensor &w = m->tensors.at("conv_ref.w");
     const Tensor &b = m->tensors.at("conv_ref.b");
     const int O = w.shape[0], I = w.shape[1], K = w.shape[2];
@@ -349,33 +357,16 @@ int apgc_forward(const apgc_model *m, const float *in_state,
            m->ref_flat.data());
     tanh_inplace(m->ref_flat.data(), (int)m->ref_flat.size());
   }
-
-  /* trunk */
-  memcpy(m->concat.data(), m->s_hidden.data(), sizeof(float) * m->hidden);
-  memcpy(m->concat.data() + m->hidden, m->ref_flat.data(),
-         sizeof(float) * m->ref_flat.size());
-  linear(m->tensors.at("fc1.w"), m->tensors.at("fc1.b"), m->concat.data(),
-         m->h1.data());
-  tanh_inplace(m->h1.data(), m->hidden);
-  linear(m->tensors.at("fc2.w"), m->tensors.at("fc2.b"), m->h1.data(),
-         m->h2.data());
-  tanh_inplace(m->h2.data(), m->hidden);
-  linear(m->tensors.at("fc3.w"), m->tensors.at("fc3.b"), m->h2.data(),
-         m->h1.data());
-  tanh_inplace(m->h1.data(), m->hidden);
-  linear(m->tensors.at("fc_out.w"), m->tensors.at("fc_out.b"), m->h1.data(),
-         out);
-  sigmoid_inplace(out, m->out_dim);
-  return 0;
 }
 
-int apgc_quad_predict(const apgc_model *m, const float *state,
-                      const float *ref_abs, float *out) {
-  if (!m || m->system != "quad" || m->state_dim != 15 || m->ref_dim != 9)
-    return -1;
-  /* quad_state_features (dataset.py:52-69): world vel, first two columns
-   * of world_to_body (row-major), body vel, angular vel. Position is
-   * zeroed before featurization but unused by the features. */
+/* quad featurization shared by the MLP and LSTM decision paths: fills
+ * m->in_state_buf (15) and m->in_ref_buf (window, 9).
+ * quad_state_features (dataset.py:52-69): world vel, first two columns of
+ * world_to_body (row-major), body vel, angular vel. in_ref rows
+ * (quad_prepare_data, dataset.py:90-96): [ref_pos - pos, ref_vel,
+ * ref_vel - vel]. */
+void quad_featurize(const apgc_model *m, const float *state,
+                    const float *ref_abs) {
   const float roll = state[3], pitch = state[4], yaw = state[5];
   const float Cy = std::cos(yaw), Sy = std::sin(yaw);
   const float Cp = std::cos(pitch), Sp = std::sin(pitch);
@@ -401,8 +392,6 @@ int apgc_quad_predict(const apgc_model *m, const float *state,
   fs[13] = av[1];
   fs[14] = av[2];
 
-  /* in_ref rows (quad_prepare_data, dataset.py:90-96):
-   * [ref_pos - pos, ref_vel, ref_vel - vel] */
   float *ir = m->in_ref_buf.data();
   for (int t = 0; t < m->window; ++t) {
     const float *r = ref_abs + (size_t)t * 9;
@@ -411,7 +400,79 @@ int apgc_quad_predict(const apgc_model *m, const float *state,
     for (int i = 0; i < 3; ++i) o[3 + i] = r[6 + i];
     for (int i = 0; i < 3; ++i) o[6 + i] = r[6 + i] - vel[i];
   }
-  return apgc_forward(m, fs, ir, out);
+}
+
+}  // namespace
+
+int apgc_forward(const apgc_model *m, const float *in_state,
+                 const float *in_ref, float *out) {
+  if (!m || !in_state || !out || m->lstm_kind) return -1;
+  if (m->cartpole_kind) return cartpole_forward(m, in_state, out);
+  if (!in_ref) return -1;
+  /* state branch: tanh(Linear) */
+  linear(m->tensors.at("states_in.w"), m->tensors.at("states_in.b"), in_state,
+         m->s_hidden.data());
+  tanh_inplace(m->s_hidden.data(), m->hidden);
+
+  ref_branch(m, in_ref);
+
+  /* trunk */
+  memcpy(m->concat.data(), m->s_hidden.data(), sizeof(float) * m->hidden);
+  memcpy(m->concat.data() + m->hidden, m->ref_flat.data(),
+         sizeof(float) * m->ref_flat.size());
+  linear(m->tensors.at("fc1.w"), m->tensors.at("fc1.b"), m->concat.data(),
+         m->h1.data());
+  tanh_inplace(m->h1.data(), m->hidden);
+  linear(m->tensors.at("fc2.w"), m->tensors.at("fc2.b"), m->h1.data(),
+         m->h2.data());
+  tanh_inplace(m->h2.data(), m->hidden);
+  linear(m->tensors.at("fc3.w"), m->tensors.at("fc3.b"), m->h2.data(),
+         m->h1.data());
+  tanh_inplace(m->h1.data(), m->hidden);
+  linear(m->tensors.at("fc_out.w"), m->tensors.at("fc_out.b"), m->h1.data(),
+         out);
+  sigmoid_inplace(out, m->out_dim);
+  return 0;
+}
+
+int apgc_quad_predict(const apgc_model *m, const float *state,
+                      const float *ref_abs, float *out) {
+  if (!m || m->system != "quad" || m->state_dim != 15 || m->ref_dim != 9 ||
+      m->lstm_kind)
+    return -1;
+  quad_featurize(m, state, ref_abs);
+  return apgc_forward(m, m->in_state_buf.data(), m->in_ref_buf.data(), out);
+}
+
+int apgc_lstm_predict(const apgc_model *m, const float *state,
+                      const float *ref_abs, float *h, float *c, float *out) {
+  if (!m || !m->lstm_kind || m->system != "quad" || !h || !c) return -1;
+  quad_featurize(m, state, ref_abs);
+  ref_branch(m, m->in_ref_buf.data());
+
+  /* LSTMCell (models/rnn.py::lstm_net_apply): gates = inp@W_ih + b_ih +
+   * h@W_hh + b_hh with torch's (i, f, g, o) gate order. */
+  const int H = m->hidden;
+  float *inp = m->concat.data();
+  memcpy(inp, m->in_state_buf.data(), sizeof(float) * m->state_dim);
+  memcpy(inp + m->state_dim, m->ref_flat.data(),
+         sizeof(float) * m->ref_flat.size());
+  float *gates = m->gates.data();
+  linear(m->tensors.at("w_ih"), m->tensors.at("b_ih"), inp, gates);
+  linear(m->tensors.at("w_hh"), m->tensors.at("b_hh"), h, m->h1.data());
+  /* h1 holds h@W_hh + b_hh for all 4H gate slots — resize guaranteed */
+  for (int j = 0; j < 4 * H; ++j) gates[j] += m->h1[j];
+  for (int j = 0; j < H; ++j) {
+    const float ig = 1.0f / (1.0f + std::exp(-gates[j]));
+    const float fg = 1.0f / (1.0f + std::exp(-gates[H + j]));
+    const float gg = std::tanh(gates[2 * H + j]);
+    const float og = 1.0f / (1.0f + std::exp(-gates[3 * H + j]));
+    c[j] = fg * c[j] + ig * gg;
+    h[j] = og * std::tanh(c[j]);
+  }
+  linear(m->tensors.at("fc_out.w"), m->tensors.at("fc_out.b"), h, out);
+  sigmoid_inplace(out, m->out_dim);
+  return 0;
 }
 
 int apgc_wing_predict(const apgc_model *m, const float *state,

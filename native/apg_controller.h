@@ -60,6 +60,14 @@ int apgc_wing_predict(const apgc_model *m, const float *state,
 int apgc_cartpole_predict(const apgc_model *m, const float *state,
                           float *out);
 
+/* Recurrent (LSTM) quad decision: raw state (12,) + ABSOLUTE reference
+ * window (window, 9) + carry h, c (hidden,) each -> (out_dim,) actions in
+ * [0, 1]. h and c are updated IN PLACE (zero them at episode start; the
+ * dims[6] slot of apgc_info gives hidden). Returns -1 for non-LSTM
+ * models. */
+int apgc_lstm_predict(const apgc_model *m, const float *state,
+                      const float *ref_abs, float *h, float *c, float *out);
+
 #ifdef __cplusplus
 }
 #endif

@@ -28,9 +28,9 @@ int main(int argc, char **argv) {
     fprintf(stderr, "failed to load %s\n", argv[1]);
     return 1;
   }
-  int32_t dims[6];
+  int32_t dims[8];
   apgc_info(m, dims);
-  const int window = dims[1], out_dim = dims[3];
+  const int window = dims[1], out_dim = dims[3], hidden = dims[6];
 
   std::vector<float> state(12), ref((size_t)(window > 0 ? window : 1) * 9),
       out(out_dim);
@@ -43,19 +43,22 @@ int main(int argc, char **argv) {
   for (auto &v : ref) v = frand();
 
   /* pick the decision path this model was exported for */
+  std::vector<float> hbuf((size_t)std::max(hidden, 1), 0.0f),
+      cbuf((size_t)std::max(hidden, 1), 0.0f);
   const char *system = "quad";
-  auto predict = [&]() {
-    return apgc_quad_predict(m, state.data(), ref.data(), out.data());
-  };
-  if (predict() != 0) {
+  if (apgc_quad_predict(m, state.data(), ref.data(), out.data()) != 0) {
     system = "wing";
     state[3] = 11.5f; /* level flight; z-scoring needs a sane state */
     if (apgc_wing_predict(m, state.data(), ref.data(), out.data()) != 0) {
       system = "cartpole";
       if (apgc_cartpole_predict(m, state.data(), out.data()) != 0) {
-        fprintf(stderr, "unknown model kind\n");
-        apgc_free(m);
-        return 1;
+        system = "lstm";
+        if (apgc_lstm_predict(m, state.data(), ref.data(), hbuf.data(),
+                              cbuf.data(), out.data()) != 0) {
+          fprintf(stderr, "unknown model kind\n");
+          apgc_free(m);
+          return 1;
+        }
       }
     }
   }
@@ -65,8 +68,11 @@ int main(int argc, char **argv) {
       apgc_quad_predict(m, state.data(), ref.data(), out.data());
     else if (system[0] == 'w')
       apgc_wing_predict(m, state.data(), ref.data(), out.data());
-    else
+    else if (system[0] == 'c')
       apgc_cartpole_predict(m, state.data(), out.data());
+    else
+      apgc_lstm_predict(m, state.data(), ref.data(), hbuf.data(),
+                        cbuf.data(), out.data());
   };
 
   /* warm-up */

@@ -27,6 +27,7 @@ from apg_trajectory_tracking_tpu.data.dataset import WING_MEAN, WING_STD
 from apg_trajectory_tracking_tpu.models import (
     init_cartpole_net,
     init_control_net,
+    init_lstm_net,
 )
 from apg_trajectory_tracking_tpu.utils.checkpoints import (
     load_checkpoint,
@@ -53,7 +54,8 @@ def _write_apgc(out_path, header, params, order):
     tensors = []
     blobs = []
     for hname, key, idx in order:
-        arr = np.asarray(params[key][idx], dtype="<f4")
+        leaf = params[key] if idx is None else params[key][idx]
+        arr = np.asarray(leaf, dtype="<f4")
         tensors.append([hname, list(arr.shape)])
         blobs.append(arr.tobytes(order="C"))
     header["tensors"] = tensors
@@ -73,12 +75,16 @@ def export_control_net(model_dir, out_path, name=None):
     checkpoints (the native runtime implements the concurrent paths)."""
     cfg = load_config(model_dir)
     mode = cfg.get("train_mode") or "concurrent"
-    if mode != "concurrent":
+    if mode not in ("concurrent", "autoregressive", "LSTM"):
         raise ValueError(
-            f"native export supports concurrent-mode checkpoints; got {mode}"
+            f"native export does not support train_mode={mode}; supported: "
+            "concurrent, autoregressive, LSTM"
         )
-    system = cfg.get("system", "quad")
-    out_dim = cfg["action_dim"] * cfg["horizon"]
+    system = cfg.get("system") or "quad"
+    # concurrent nets emit all horizon actions at once; the recurrent
+    # modes emit one action per call (train_base.py:119-128)
+    out_dim = cfg["action_dim"] * (cfg["horizon"] if mode == "concurrent"
+                                   else 1)
     ckpt_name = name or f"model_{system}"
     header = {
         "kind": "control_net",
@@ -88,6 +94,26 @@ def export_control_net(model_dir, out_path, name=None):
         "horizon": cfg["horizon"],
         "dt": cfg.get("delta_t", 0.1),
     }
+
+    if mode == "LSTM":
+        if system != "quad":
+            raise ValueError("LSTM export is only wired for quad")
+        window = cfg.get("net_window") or cfg["horizon"]
+        hidden = cfg.get("hidden") or 8
+        template = init_lstm_net(
+            jax.random.PRNGKey(0), 15, window, cfg["ref_dim"],
+            cfg["action_dim"], conv=True, hidden=hidden,
+        )
+        params = load_checkpoint(model_dir, ckpt_name, template)
+        header.update(kind="lstm_net", state_dim=15, window=window,
+                      ref_dim=cfg["ref_dim"], conv=True, hidden=hidden)
+        order = [
+            ("conv_ref.w", "conv_ref", 0), ("conv_ref.b", "conv_ref", 1),
+            ("w_ih", "w_ih", None), ("w_hh", "w_hh", None),
+            ("b_ih", "b_ih", None), ("b_hh", "b_hh", None),
+            ("fc_out.w", "fc_out", 0), ("fc_out.b", "fc_out", 1),
+        ]
+        return _write_apgc(out_path, header, params, order)
 
     if system == "cartpole":
         template = init_cartpole_net(jax.random.PRNGKey(0), 4, out_dim)

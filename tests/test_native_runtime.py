@@ -256,17 +256,84 @@ def test_cartpole_predict_parity(native_lib, tmp_path):
         np.testing.assert_allclose(got, jx[b], atol=5e-6)
 
 
-def test_export_rejects_recurrent(native_lib, tmp_path):
+def test_lstm_predict_parity(native_lib, tmp_path):
+    """Recurrent decision path: carry threads across calls and matches the
+    JAX lstm_net_apply step-by-step over a 20-step sequence."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from export_controller import export_control_net
+
+    from apg_trajectory_tracking_tpu.data.dataset import quad_prepare_data
+    from apg_trajectory_tracking_tpu.models import (
+        init_lstm_net,
+        lstm_net_apply,
+    )
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        load_checkpoint,
+        load_config,
+    )
+    from apg_trajectory_tracking_tpu.utils.native_runtime import (
+        NativeController,
+    )
+
+    model_dir = os.path.join(REPO, "assets", "quad_mpc_distilled_lstm")
+    if not os.path.isdir(model_dir):
+        pytest.skip("no distilled LSTM asset")
+    out = str(tmp_path / "lstm.apgc")
+    header = export_control_net(model_dir, out)
+    assert header["kind"] == "lstm_net"
+
+    cfg = load_config(model_dir)
+    window = cfg.get("net_window") or cfg["horizon"]
+    hidden = cfg.get("hidden") or 8
+    template = init_lstm_net(
+        jax.random.PRNGKey(0), 15, window, cfg["ref_dim"],
+        cfg["action_dim"], conv=True, hidden=hidden,
+    )
+    net = load_checkpoint(model_dir, "model_quad", template)
+    nc = NativeController(out)
+    assert nc.kind == "lstm_net" and nc.hidden == hidden
+
+    rng = np.random.RandomState(5)
+    carry_nat = nc.init_carry()
+    h = jnp.zeros((1, hidden), dtype=jnp.float32)
+    carry_jax = (h, h)
+    for _ in range(20):
+        state = (rng.randn(12) * 0.3).astype(np.float32)
+        ref = (rng.randn(window, 9) * 0.3).astype(np.float32)
+        in_s, _, in_r, _ = quad_prepare_data(
+            jnp.asarray(state[None]), jnp.asarray(ref[None])
+        )
+        carry_jax, logits = lstm_net_apply(net, carry_jax, in_s, in_r)
+        want = np.asarray(jax.nn.sigmoid(logits))[0]
+        got, carry_nat = nc.lstm_predict(state, ref, carry_nat)
+        np.testing.assert_allclose(got, want, atol=5e-6)
+        np.testing.assert_allclose(
+            carry_nat[0], np.asarray(carry_jax[0])[0], atol=5e-6
+        )
+
+
+def test_export_rejects_unknown_mode(native_lib, tmp_path):
+    """Modes outside {concurrent, autoregressive, LSTM} are refused."""
+    import json as _json
+    import shutil
     import sys
 
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     from export_controller import export_control_net
 
-    lstm_dir = os.path.join(REPO, "assets", "quad_lstm_trained")
-    if not os.path.isdir(lstm_dir):
-        pytest.skip("no LSTM asset")
-    with pytest.raises(ValueError, match="concurrent"):
-        export_control_net(lstm_dir, str(tmp_path / "x.apgc"))
+    src = os.path.join(REPO, "assets", "quad_trained")
+    dst = tmp_path / "weird"
+    shutil.copytree(src, dst)
+    cfg = _json.load(open(dst / "config.json"))
+    cfg["train_mode"] = "exotic"
+    _json.dump(cfg, open(dst / "config.json", "w"))
+    with pytest.raises(ValueError, match="train_mode"):
+        export_control_net(str(dst), str(tmp_path / "x.apgc"))
 
 
 def test_latency_binary(exported_quad):
