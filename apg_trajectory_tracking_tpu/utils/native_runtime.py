@@ -26,7 +26,8 @@ def build_native(force=False):
     """
     lib = os.path.join(NATIVE_DIR, "build", "libapgctrl.so")
     srcs = [os.path.join(NATIVE_DIR, f)
-            for f in ("apg_controller.cc", "apg_controller.h")]
+            for f in ("apg_controller.cc", "apg_controller.h",
+                      "latency_main.cc", "Makefile")]
     if (not force and os.path.exists(lib)
             and os.path.getmtime(lib) >= max(os.path.getmtime(s)
                                              for s in srcs)):
@@ -90,10 +91,13 @@ class NativeController:
     def lstm_predict(self, state, ref_abs, carry):
         """Recurrent quad decision: raw (12,) state + absolute (window, 9)
         window + (h, c) carry -> ((out_dim,) actions, new (h, c)).
-        The carry arrays are updated in place and returned."""
+        Thread the RETURNED carry into the next call (float32 carries are
+        updated in place; other dtypes are converted first, so the inputs
+        would be left stale)."""
         s, sp = self._buf(state)
         r, rp = self._buf(ref_abs)
-        h, c = carry
+        h, _ = self._buf(carry[0])
+        c, _ = self._buf(carry[1])
         assert s.size == 12 and r.size == self.window * 9
         assert h.size == self.hidden and c.size == self.hidden
         out = np.empty(self.out_dim, dtype=np.float32)

@@ -45,9 +45,48 @@ struct apgc_model {
   bool lstm_kind = false;
   std::vector<float> mean, stddev; /* wing featurization constants */
   std::map<std::string, Tensor> tensors;
+  /* tensor pointers resolved at load (map nodes are stable) so the hot
+   * path never does string lookups */
+  const Tensor *t_conv_w = nullptr, *t_conv_b = nullptr;
+  const Tensor *t_refin_w = nullptr, *t_refin_b = nullptr;
+  const Tensor *t_st_w = nullptr, *t_st_b = nullptr;
+  const Tensor *t_fc[3][2] = {};  /* fc1..fc3 (w, b) */
+  const Tensor *t_cart[4][2] = {}; /* fc0..fc3 (w, b) */
+  const Tensor *t_out_w = nullptr, *t_out_b = nullptr;
+  const Tensor *t_wih = nullptr, *t_whh = nullptr;
+  const Tensor *t_bih = nullptr, *t_bhh = nullptr;
   /* scratch buffers sized at load so predict() never allocates */
   mutable std::vector<float> in_state_buf, in_ref_buf, s_hidden, ref_flat,
       concat, h1, h2, gates;
+
+  void resolve_tensors() {
+    auto g = [this](const std::string &n) -> const Tensor * {
+      auto it = tensors.find(n);
+      return it == tensors.end() ? nullptr : &it->second;
+    };
+    t_conv_w = g("conv_ref.w");
+    t_conv_b = g("conv_ref.b");
+    t_refin_w = g("ref_in.w");
+    t_refin_b = g("ref_in.b");
+    t_st_w = g("states_in.w");
+    t_st_b = g("states_in.b");
+    const char *fc[3] = {"fc1", "fc2", "fc3"};
+    for (int i = 0; i < 3; ++i) {
+      t_fc[i][0] = g(std::string(fc[i]) + ".w");
+      t_fc[i][1] = g(std::string(fc[i]) + ".b");
+    }
+    const char *cart[4] = {"fc0", "fc1", "fc2", "fc3"};
+    for (int i = 0; i < 4; ++i) {
+      t_cart[i][0] = g(std::string(cart[i]) + ".w");
+      t_cart[i][1] = g(std::string(cart[i]) + ".b");
+    }
+    t_out_w = g("fc_out.w");
+    t_out_b = g("fc_out.b");
+    t_wih = g("w_ih");
+    t_whh = g("w_hh");
+    t_bih = g("b_ih");
+    t_bhh = g("b_hh");
+  }
 };
 
 namespace {
@@ -244,6 +283,7 @@ apgc_model *apgc_load(const char *path) {
     m->h1.resize(w);
     m->h2.resize(w);
     m->in_state_buf.resize(4);
+    m->resolve_tensors();
     return m;
   }
 
@@ -266,9 +306,16 @@ apgc_model *apgc_load(const char *path) {
     return nullptr;
   }
 
+  /* conv output length derives from the ACTUAL kernel size so the sizing
+   * here can never diverge from ref_branch's write extent */
   const int ref_flat_len =
-      m->conv ? m->tensors["conv_ref.w"].shape[0] * (m->window - 2)
+      m->conv ? m->tensors["conv_ref.w"].shape[0] *
+                    (m->window - m->tensors["conv_ref.w"].shape[2] + 1)
               : m->tensors["ref_in.w"].shape[1];
+  if (ref_flat_len <= 0) {
+    delete m;
+    return nullptr;
+  }
   m->in_state_buf.resize(m->state_dim);
   m->in_ref_buf.resize((size_t)m->window * m->ref_dim);
   m->ref_flat.resize(ref_flat_len);
@@ -281,6 +328,7 @@ apgc_model *apgc_load(const char *path) {
     m->h1.resize(m->hidden);
     m->h2.resize(m->hidden);
   }
+  m->resolve_tensors();
   return m;
 }
 
@@ -309,19 +357,18 @@ int cartpole_forward(const apgc_model *m, const float *state, float *out) {
   x[1] = state[1];
   x[2] = state[2];
   x[3] = state[3];
-  const char *names[] = {"fc0", "fc1", "fc2", "fc3"};
   const float *cur = x;
   float *bufs[2] = {m->h1.data(), m->h2.data()};
   int which = 0;
-  for (const char *n : names) {
-    const Tensor &w = m->tensors.at(std::string(n) + ".w");
-    const Tensor &b = m->tensors.at(std::string(n) + ".b");
+  for (int i = 0; i < 4; ++i) {
+    const Tensor &w = *m->t_cart[i][0];
+    const Tensor &b = *m->t_cart[i][1];
     linear(w, b, cur, bufs[which]);
     tanh_inplace(bufs[which], w.shape[1]);
     cur = bufs[which];
     which ^= 1;
   }
-  linear(m->tensors.at("fc_out.w"), m->tensors.at("fc_out.b"), cur, out);
+  linear(*m->t_out_w, *m->t_out_b, cur, out);
   tanh_inplace(out, m->out_dim);
   return 0;
 }
@@ -337,8 +384,8 @@ namespace {
  * models/mlp.py::_ref_branch / models/rnn.py. */
 void ref_branch(const apgc_model *m, const float *in_ref) {
   if (m->conv) {
-    const Tensor &w = m->tensors.at("conv_ref.w");
-    const Tensor &b = m->tensors.at("conv_ref.b");
+    const Tensor &w = *m->t_conv_w;
+    const Tensor &b = *m->t_conv_b;
     const int O = w.shape[0], I = w.shape[1], K = w.shape[2];
     const int L = m->window, Lo = L - K + 1;
     for (int o = 0; o < O; ++o) {
@@ -353,8 +400,7 @@ void ref_branch(const apgc_model *m, const float *in_ref) {
       }
     }
   } else {
-    linear(m->tensors.at("ref_in.w"), m->tensors.at("ref_in.b"), in_ref,
-           m->ref_flat.data());
+    linear(*m->t_refin_w, *m->t_refin_b, in_ref, m->ref_flat.data());
     tanh_inplace(m->ref_flat.data(), (int)m->ref_flat.size());
   }
 }
@@ -410,8 +456,7 @@ int apgc_forward(const apgc_model *m, const float *in_state,
   if (m->cartpole_kind) return cartpole_forward(m, in_state, out);
   if (!in_ref) return -1;
   /* state branch: tanh(Linear) */
-  linear(m->tensors.at("states_in.w"), m->tensors.at("states_in.b"), in_state,
-         m->s_hidden.data());
+  linear(*m->t_st_w, *m->t_st_b, in_state, m->s_hidden.data());
   tanh_inplace(m->s_hidden.data(), m->hidden);
 
   ref_branch(m, in_ref);
@@ -420,17 +465,13 @@ int apgc_forward(const apgc_model *m, const float *in_state,
   memcpy(m->concat.data(), m->s_hidden.data(), sizeof(float) * m->hidden);
   memcpy(m->concat.data() + m->hidden, m->ref_flat.data(),
          sizeof(float) * m->ref_flat.size());
-  linear(m->tensors.at("fc1.w"), m->tensors.at("fc1.b"), m->concat.data(),
-         m->h1.data());
+  linear(*m->t_fc[0][0], *m->t_fc[0][1], m->concat.data(), m->h1.data());
   tanh_inplace(m->h1.data(), m->hidden);
-  linear(m->tensors.at("fc2.w"), m->tensors.at("fc2.b"), m->h1.data(),
-         m->h2.data());
+  linear(*m->t_fc[1][0], *m->t_fc[1][1], m->h1.data(), m->h2.data());
   tanh_inplace(m->h2.data(), m->hidden);
-  linear(m->tensors.at("fc3.w"), m->tensors.at("fc3.b"), m->h2.data(),
-         m->h1.data());
+  linear(*m->t_fc[2][0], *m->t_fc[2][1], m->h2.data(), m->h1.data());
   tanh_inplace(m->h1.data(), m->hidden);
-  linear(m->tensors.at("fc_out.w"), m->tensors.at("fc_out.b"), m->h1.data(),
-         out);
+  linear(*m->t_out_w, *m->t_out_b, m->h1.data(), out);
   sigmoid_inplace(out, m->out_dim);
   return 0;
 }
@@ -446,7 +487,9 @@ int apgc_quad_predict(const apgc_model *m, const float *state,
 
 int apgc_lstm_predict(const apgc_model *m, const float *state,
                       const float *ref_abs, float *h, float *c, float *out) {
-  if (!m || !m->lstm_kind || m->system != "quad" || !h || !c) return -1;
+  if (!m || !m->lstm_kind || m->system != "quad" || m->state_dim != 15 ||
+      m->ref_dim != 9 || !h || !c)
+    return -1;
   quad_featurize(m, state, ref_abs);
   ref_branch(m, m->in_ref_buf.data());
 
@@ -458,8 +501,8 @@ int apgc_lstm_predict(const apgc_model *m, const float *state,
   memcpy(inp + m->state_dim, m->ref_flat.data(),
          sizeof(float) * m->ref_flat.size());
   float *gates = m->gates.data();
-  linear(m->tensors.at("w_ih"), m->tensors.at("b_ih"), inp, gates);
-  linear(m->tensors.at("w_hh"), m->tensors.at("b_hh"), h, m->h1.data());
+  linear(*m->t_wih, *m->t_bih, inp, gates);
+  linear(*m->t_whh, *m->t_bhh, h, m->h1.data());
   /* h1 holds h@W_hh + b_hh for all 4H gate slots — resize guaranteed */
   for (int j = 0; j < 4 * H; ++j) gates[j] += m->h1[j];
   for (int j = 0; j < H; ++j) {
@@ -470,7 +513,7 @@ int apgc_lstm_predict(const apgc_model *m, const float *state,
     c[j] = fg * c[j] + ig * gg;
     h[j] = og * std::tanh(c[j]);
   }
-  linear(m->tensors.at("fc_out.w"), m->tensors.at("fc_out.b"), h, out);
+  linear(*m->t_out_w, *m->t_out_b, h, out);
   sigmoid_inplace(out, m->out_dim);
   return 0;
 }

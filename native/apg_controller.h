@@ -29,8 +29,9 @@ apgc_model *apgc_load(const char *path);
 
 void apgc_free(apgc_model *m);
 
-/* Fill dims[0..5] = {state_dim, window, ref_dim, out_dim, action_dim, conv}.
- * Returns 0 on success. */
+/* Fill dims[0..7] = {state_dim, window, ref_dim, out_dim, action_dim,
+ * conv, hidden, kind (0 = feed-forward control net, 1 = cartpole net,
+ * 2 = LSTM)}. The buffer MUST hold 8 int32. Returns 0 on success. */
 int apgc_info(const apgc_model *m, int32_t *dims);
 
 /* Net-only forward on pre-featurized inputs:

@@ -23,6 +23,10 @@ int main(int argc, char **argv) {
     return 2;
   }
   const int iters = argc > 2 ? atoi(argv[2]) : 100000;
+  if (iters < 100) {
+    fprintf(stderr, "iters must be >= 100 (got %d)\n", iters);
+    return 2;
+  }
   apgc_model *m = apgc_load(argv[1]);
   if (!m) {
     fprintf(stderr, "failed to load %s\n", argv[1]);

@@ -69,10 +69,28 @@ def _write_apgc(out_path, header, params, order):
     return header
 
 
+def _infer_system(model_dir, cfg):
+    """``system`` from config when present, else from the checkpoint file
+    name (some experiment scripts, e.g. distill_mpc_wing.py, save configs
+    without the key)."""
+    if cfg.get("system"):
+        return cfg["system"]
+    for system in ("quad", "wing", "cartpole"):
+        if os.path.exists(os.path.join(model_dir, f"model_{system}.npz")):
+            return system
+    raise ValueError(
+        f"{model_dir}: no 'system' in config.json and no model_*.npz found"
+    )
+
+
+# featurization time steps per system (configs/*.json delta_t)
+_DEFAULT_DT = {"quad": 0.1, "wing": 0.05, "cartpole": 0.05}
+
+
 def export_control_net(model_dir, out_path, name=None):
-    """Export a concurrent-mode checkpoint (quad / wing / cartpole) to
-    ``out_path``. Returns the header dict. Raises ValueError for recurrent
-    checkpoints (the native runtime implements the concurrent paths)."""
+    """Export a checkpoint (quad / wing / cartpole; concurrent,
+    autoregressive, or LSTM mode) to ``out_path``. Returns the header
+    dict. Raises ValueError for unsupported train modes."""
     cfg = load_config(model_dir)
     mode = cfg.get("train_mode") or "concurrent"
     if mode not in ("concurrent", "autoregressive", "LSTM"):
@@ -80,7 +98,7 @@ def export_control_net(model_dir, out_path, name=None):
             f"native export does not support train_mode={mode}; supported: "
             "concurrent, autoregressive, LSTM"
         )
-    system = cfg.get("system") or "quad"
+    system = _infer_system(model_dir, cfg)
     # concurrent nets emit all horizon actions at once; the recurrent
     # modes emit one action per call (train_base.py:119-128)
     out_dim = cfg["action_dim"] * (cfg["horizon"] if mode == "concurrent"
@@ -92,7 +110,7 @@ def export_control_net(model_dir, out_path, name=None):
         "out_dim": out_dim,
         "action_dim": cfg["action_dim"],
         "horizon": cfg["horizon"],
-        "dt": cfg.get("delta_t", 0.1),
+        "dt": cfg.get("delta_t", _DEFAULT_DT[system]),
     }
 
     if mode == "LSTM":

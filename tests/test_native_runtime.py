@@ -317,6 +317,29 @@ def test_lstm_predict_parity(native_lib, tmp_path):
         )
 
 
+def test_export_infers_system_without_config_key(native_lib, tmp_path):
+    """Checkpoints whose config lacks 'system' (e.g. distill_mpc_wing.py
+    output) classify by the model_*.npz file name; wing dt defaults to
+    0.05, not the quad 0.1."""
+    import json as _json
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from export_controller import export_control_net
+
+    src = os.path.join(REPO, "assets", "wing_trained")
+    dst = tmp_path / "wing_nosys"
+    shutil.copytree(src, dst)
+    cfg = _json.load(open(dst / "config.json"))
+    cfg.pop("system", None)
+    cfg.pop("delta_t", None)
+    _json.dump(cfg, open(dst / "config.json", "w"))
+    header = export_control_net(str(dst), str(tmp_path / "w.apgc"))
+    assert header["system"] == "wing"
+    assert header["dt"] == 0.05
+
+
 def test_export_rejects_unknown_mode(native_lib, tmp_path):
     """Modes outside {concurrent, autoregressive, LSTM} are refused."""
     import json as _json
