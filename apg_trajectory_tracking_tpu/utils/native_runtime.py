@@ -185,3 +185,58 @@ class NativeController:
             self.close()
         except Exception:
             pass
+
+
+def native_quad_rollout(nc, reference, ref_len, step_fn, thresh_div=1.0,
+                        thresh_stable=1.0, max_steps=251):
+    """Closed-loop TEST-TIME quad rollout driven by the native controller.
+
+    Mirrors ``evaluation/quad_eval.follow_trajectories`` semantics for one
+    trajectory (test_time=True): start at the first reference point,
+    reference window per ``trajectory/refs.array_ref_window`` (end-of-
+    trajectory rows pin position, zero the rest), divergence = distance to
+    reference[i+1], break (freeze state) on divergence or instability.
+    Used to validate the deployed artifact under the paper's actual eval
+    protocol (tests/test_native_runtime.py).
+
+    Args:
+        nc: a NativeController for a quad model (MLP or LSTM kind).
+        reference: (T, 9) prepared reference trajectory.
+        ref_len: usable reference length (as in run_eval).
+        step_fn: (state (12,), action (4,)) -> next state — the dynamics
+            step (tests inject the jitted quad_step).
+    Returns:
+        (divergences (max_steps,), valid (max_steps,) bool) numpy arrays —
+        the per-trajectory slices of follow_trajectories' outputs.
+    """
+    reference = np.asarray(reference, dtype=np.float32)
+    T = reference.shape[0]
+    state = np.zeros(12, dtype=np.float32)
+    state[:3] = reference[0, :3]
+    carry = nc.init_carry() if nc.kind == "lstm_net" else None
+
+    divs = np.zeros(max_steps, dtype=np.float32)
+    valid = np.zeros(max_steps, dtype=bool)
+    done = False
+    offsets = np.arange(nc.window)
+    pad_row = np.zeros(9, dtype=np.float32)
+    pad_row[:3] = reference[-1, :3]
+    for i in range(max_steps):
+        idx = i + 1 + offsets
+        window = reference[np.minimum(idx, T - 1)].copy()
+        window[idx >= T] = pad_row
+        if carry is not None:
+            act, carry = nc.lstm_predict(state, window, carry)
+        else:
+            act = nc.quad_predict(state, window)
+        new_state = np.asarray(step_fn(state, act[:4]), dtype=np.float32)
+
+        stable = bool(np.all(np.abs(new_state[3:5]) < thresh_stable))
+        proj = reference[min(i + 1, T - 1), :3]
+        div = float(np.linalg.norm(proj - new_state[:3]))
+        divs[i] = div
+        valid[i] = (not done) and (i <= ref_len)
+        if not done:
+            state = new_state
+            done = div > thresh_div or not stable
+    return divs, valid

@@ -317,6 +317,64 @@ def test_lstm_predict_parity(native_lib, tmp_path):
         )
 
 
+def test_native_eval_protocol(exported_quad, quad_net, tiny_bank):
+    """The deployed artifact flies the actual eval protocol: a native-
+    controller-driven test-time rollout on real bank trajectories matches
+    the jitted evaluator's per-step divergences and valid mask."""
+    import jax
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.dynamics.quad import (
+        quad_params,
+        quad_step,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import (
+        follow_trajectories,
+    )
+    from apg_trajectory_tracking_tpu.trajectory.generate import (
+        load_trajectory_bank,
+        prepare_trajectory,
+    )
+    from apg_trajectory_tracking_tpu.utils.native_runtime import (
+        NativeController,
+        native_quad_rollout,
+    )
+
+    net, cfg = quad_net
+    nc = NativeController(exported_quad)
+    dyn = quad_params()
+    dt = cfg["delta_t"]
+
+    bank = load_trajectory_bank(tiny_bank, test=True)
+    refs = np.stack(
+        [prepare_trajectory(bank[i], dt, 0.4) for i in range(2)]
+    )
+    ref_len = refs.shape[1] - 10
+    max_steps = min(251, ref_len + 1)
+
+    roll = follow_trajectories(
+        net, dyn, jnp.asarray(refs), ref_len, thresh_div=1.0,
+        test_time=True, max_steps=max_steps, dt=dt,
+    )
+    jx_div = np.asarray(roll["divergences"])
+    jx_valid = np.asarray(roll["valid"])
+
+    step1 = jax.jit(
+        lambda s, a: quad_step(dyn, s[None], a[None], dt)[0]
+    )
+    for t in range(2):
+        divs, valid = native_quad_rollout(
+            nc, refs[t], ref_len, step1, thresh_div=1.0,
+            max_steps=max_steps,
+        )
+        assert valid.tolist() == jx_valid[t].tolist()
+        # actions match to 5e-6; closed-loop tracking keeps the paths
+        # together over the full protocol length
+        np.testing.assert_allclose(
+            divs[valid], jx_div[t][jx_valid[t]], atol=5e-3
+        )
+
+
 def test_export_infers_system_without_config_key(native_lib, tmp_path):
     """Checkpoints whose config lacks 'system' (e.g. distill_mpc_wing.py
     output) classify by the model_*.npz file name; wing dt defaults to
