@@ -367,9 +367,13 @@ def eval_pets_balance(agent, dyn_params, starts, max_steps=250, dt=0.05,
                 env_step(dyn_params, jnp.asarray(state), jnp.asarray(a), dt)
             )
             vels.append(abs(float(state[1])))
+            # latch BEFORE the break so the falling step i still counts,
+            # matching evaluate_balance / eval_cartpole_ppo_balance (a
+            # break-first loop undercounts PETS by one step in the
+            # head-to-head table)
+            steps = i
             if abs(state[2]) >= thresh_div:
                 break
-            steps = i
         steps_list.append(steps)
     return {
         "mean_vel": float(np.mean(vels)),

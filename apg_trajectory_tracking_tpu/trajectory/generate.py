@@ -241,8 +241,11 @@ def prepare_trajectory(traj, dt, speed_factor):
     # non-integer strides degrade gracefully like the reference's int()
     # truncation (generate_trajectory.py:587) — e.g. --speed 0.25 at
     # dt 0.1 gives stride 2.5 -> 2, replaying slightly slower than asked
-    # rather than crashing
-    take_every = max(int(dt / 0.01 * speed_factor), 1)
+    # rather than crashing. The 1e-9 nudge keeps binary-float artifacts
+    # from flipping an intended-integer stride (dt=0.29 -> 28.999999...
+    # must truncate to 29, not 28); genuinely fractional strides are far
+    # from an integer so the nudge cannot change them.
+    take_every = max(int(dt / 0.01 * speed_factor + 1e-9), 1)
     taken = traj[::take_every]
     euler = quaternion_to_euler(taken[:, 3:7])
     return np.concatenate(

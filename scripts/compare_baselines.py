@@ -82,7 +82,11 @@ def eval_mpc(solver, references, dt, horizon, thresh_div, n_iters=None):
 
     mpc = MPC(horizon=horizon, dt=dt, dynamics="flightmare",
               solver=solver, n_iters=n_iters)
-    ref_len = references.shape[1] - horizon
+    # SAME protocol span for every table row regardless of solver horizon
+    # (reference windows pad past the trajectory end, array_ref_window);
+    # ref_len = T - horizon would give long-horizon MPC a shorter, easier
+    # protocol than the neural rows
+    ref_len = references.shape[1] - 10
     roll = mpc_follow_trajectories(
         mpc._solve, quad_params(), jnp.asarray(references), ref_len,
         thresh_div=thresh_div, thresh_stable=1.0, dyn_step=quad_step,
@@ -242,8 +246,14 @@ def cartpole_table(args):
     rows["PPO (500k)"] = eval_cartpole_ppo_balance(ppo_params, dyn, starts)
     print("PPO", json.dumps(rows["PPO (500k)"]))
 
-    pets_dir = "trained_models/cartpole/pets"
-    if os.path.exists(os.path.join(pets_dir, "model_pets.npz")):
+    # prefer a locally trained ensemble, then the shipped one (the asset
+    # behind docs/CARTPOLE_COMPARISON.md); retrain only as a last resort,
+    # and save that run so the next invocation reloads it
+    pets_dir = next(
+        (d for d in ("trained_models/cartpole/pets", "assets/cartpole_pets")
+         if os.path.exists(os.path.join(d, "model_pets.npz"))), None,
+    )
+    if pets_dir is not None:
         agent = PETS(
             state_dim=4, act_dim=1, reward_fn=cartpole_reward,
             act_low=-1.0, act_high=1.0, horizon=10,
@@ -255,6 +265,8 @@ def cartpole_table(args):
         agent, _ = run_pets_cartpole(
             trials=args.pets_trials, verbose=False
         )
+        save_checkpoint("trained_models/cartpole/pets", "model_pets",
+                        agent.model, {"trials": args.pets_trials})
         tag = f"PETS ({args.pets_trials} trials)"
     rows[tag] = eval_pets_balance(agent, dyn, starts)
     print("PETS", json.dumps(rows[tag]))
@@ -279,7 +291,11 @@ def main():
                                  "assets/quad_mpc_distilled_lstm"],
                         help="neural checkpoints to include (the shipped "
                              "set behind docs/BASELINE_COMPARISON.md)")
-    parser.add_argument("--ppo_dir", default="trained_models/quad/ppo_compare")
+    parser.add_argument(
+        "--ppo_dir", default=None,
+        help="quad PPO checkpoint dir (default: trained_models/quad/"
+             "ppo_compare if present, else the shipped assets/quad_ppo_2m "
+             "that backs docs/BASELINE_COMPARISON.md)")
     parser.add_argument("--train_ppo", action="store_true",
                         help="train quad PPO if no checkpoint exists")
     parser.add_argument("--timesteps", type=int, default=2_000_000,
@@ -350,6 +366,13 @@ def main():
                 solver, references, dt, h, thresh_div, n_iters=iters
             )
             print(name, json.dumps(rows[name]))
+    if args.ppo_dir is None:
+        args.ppo_dir = next(
+            (d for d in ("trained_models/quad/ppo_compare",
+                         "assets/quad_ppo_2m")
+             if os.path.exists(os.path.join(d, "model_ppo.npz"))),
+            "trained_models/quad/ppo_compare",
+        )
     ppo_metrics = eval_ppo(
         args.ppo_dir, references, dt, horizon, thresh_div, args.speed,
         train_if_missing=args.train_ppo, timesteps=args.timesteps,

@@ -275,14 +275,18 @@ def main():
                     animate_quad,
                 )
 
+                # each rollout tracked its OWN reference — render each
+                # against the right curve (one file per rollout)
                 k = min(3, references.shape[0])
                 states = np.asarray(roll["states"])
                 valid = np.asarray(roll["valid"])
-                trajs = [
-                    states[i][valid[i]] for i in range(k)
-                ]
-                animate_quad(references[0], trajs, savefile=args.animate)
-                print(f"animation saved to {args.animate}")
+                base, ext = os.path.splitext(args.animate)
+                for i in range(k):
+                    out = args.animate if k == 1 else f"{base}_{i}{ext}"
+                    animate_quad(
+                        references[i], [states[i][valid[i]]], savefile=out,
+                    )
+                    print(f"animation saved to {out}")
             return metrics
 
         if args.sweep:

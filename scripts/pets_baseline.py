@@ -41,8 +41,8 @@ def main():
     save_path = os.path.join("trained_models", "cartpole", args.save_name)
     os.makedirs(save_path, exist_ok=True)
 
-    def persist(trial, agent, rewards):
-        if (trial + 1) % 10 != 0:
+    def persist(trial, agent, rewards, force=False):
+        if not force and (trial + 1) % 10 != 0:
             return
         with open(os.path.join(save_path, "pets_rewards.json"), "w") as f:
             json.dump(rewards, f)
@@ -56,7 +56,8 @@ def main():
         trials=args.trials, trial_length=args.trial_length, seed=args.seed,
         on_trial=persist,
     )
-    persist(9, agent, rewards_per_trial)  # final write regardless of count
+    # final write regardless of count, stamped with the REAL trial count
+    persist(len(rewards_per_trial) - 1, agent, rewards_per_trial, force=True)
     print("saved to", save_path)
 
 
