@@ -36,6 +36,10 @@ def main():
     parser.add_argument("-a", "--eval", type=int, default=10)
     parser.add_argument("--swingup", action="store_true")
     parser.add_argument("--sweep", action="store_true")
+    parser.add_argument("--live", action="store_true",
+                        help="replay one episode in the live 2D viewer "
+                             "(interactive with a GUI backend, offscreen "
+                             "under Agg)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -100,6 +104,38 @@ def main():
     model_path = resolve_model_dir(args.model, "cartpole")
     net, cfg = load_cartpole_controller(model_path, args.epoch)
     dt, horizon = cfg["delta_t"], cfg["horizon"]
+
+    if args.live:
+        # one closed-loop episode, states collected on device in a single
+        # scan dispatch, then replayed at sim-time pacing on the host
+        import jax.numpy as jnp
+        from apg_trajectory_tracking_tpu.dynamics.cartpole import (
+            cartpole_params as _params,
+        )
+        from apg_trajectory_tracking_tpu.envs.cartpole_env import (
+            env_step,
+            reset_swingup,
+        )
+        from apg_trajectory_tracking_tpu.models import cartpole_net_apply
+        from apg_trajectory_tracking_tpu.utils.live_view import (
+            replay_cartpole,
+        )
+
+        dyn = _params({})
+        if args.swingup:
+            s0 = reset_swingup(jax.random.PRNGKey(0), 1)
+        else:
+            s0 = jnp.zeros((1, 4), dtype=jnp.float32)
+            s0 = s0.at[0, 2].set(0.05)  # slight tilt so there is motion
+
+        def body(state, _):
+            a = cartpole_net_apply(net, state).reshape(-1, horizon, 1)[:, 0]
+            new_state = env_step(dyn, state, a, dt)
+            return new_state, new_state[0]
+
+        _, states = jax.lax.scan(body, s0, None, length=250)
+        n, _ = replay_cartpole(states, dt=dt)
+        print(f"live replay: {n} frames")
 
     def eval_with(modified_params):
         dyn = cartpole_params(modified_params)

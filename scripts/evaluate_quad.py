@@ -109,6 +109,10 @@ def main():
     parser.add_argument("--animate", default=None, metavar="FILE.gif",
                         help="save a 3D flight animation of the first "
                              "rollouts (rand/poly/waypoint refs)")
+    parser.add_argument("--live", action="store_true",
+                        help="replay the first rollout in the live 2D "
+                             "viewer (interactive with a GUI backend, "
+                             "offscreen under Agg; rendering.py:57-135)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -287,6 +291,18 @@ def main():
                         references[i], [states[i][valid[i]]], savefile=out,
                     )
                     print(f"animation saved to {out}")
+            if args.live:
+                from apg_trajectory_tracking_tpu.utils.live_view import (
+                    replay_quad,
+                )
+
+                states = np.asarray(roll["states"])
+                valid = np.asarray(roll["valid"])
+                n, _ = replay_quad(
+                    states[0][valid[0]], reference=np.asarray(references[0]),
+                    dt=dt,
+                )
+                print(f"live replay: {n} frames")
             return metrics
 
         if args.sweep:

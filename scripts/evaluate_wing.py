@@ -38,6 +38,10 @@ def main():
     parser.add_argument("--mpc_horizon", type=int, default=10,
                         help="planning horizon for -m mpc (10 = the "
                              "reference's; 20 intercepts within ~0.0003 m)")
+    parser.add_argument("--live", action="store_true",
+                        help="replay the first episode in the live 2D "
+                             "viewer (interactive with a GUI backend, "
+                             "offscreen under Agg)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -123,11 +127,23 @@ def main():
 
     def eval_with(modified_params):
         dyn = wing_params(modified_params)
-        metrics, _, _ = run_eval(
+        metrics, roll, targets = run_eval(
             net, dyn, jax.random.PRNGKey(42), mean, std,
             nr_test=args.eval, thresh_div=cfg.get("thresh_div", 10.0),
             thresh_stable=3.0, horizon=horizon, dt=dt, test_time=True,
         )
+        if args.live:
+            import numpy as np
+            from apg_trajectory_tracking_tpu.utils.live_view import (
+                replay_wing,
+            )
+
+            states = np.asarray(roll["states"])
+            valid = np.asarray(roll["valid"])
+            n, _ = replay_wing(
+                states[0][valid[0]], np.asarray(targets[0]), dt=dt
+            )
+            print(f"live replay: {n} frames")
         return metrics
 
     if args.sweep:

@@ -44,15 +44,20 @@ def test_evaluate_quad_analytic_circle(monkeypatch, capsys):
 
 
 def test_evaluate_quad_animate(monkeypatch, capsys, tmp_path):
+    # with >1 rollouts each renders against its own reference, one file
+    # per rollout (flight_0.gif, flight_1.gif)
     gif = str(tmp_path / "flight.gif")
     out = _run(
         "evaluate_quad",
         ["evaluate_quad.py", "-m", "assets/quad_trained", "-a", "2",
-         "--animate", gif],
+         "--animate", gif, "--live"],
         monkeypatch, capsys,
     )
-    assert os.path.getsize(gif) > 1000
+    for i in range(2):
+        assert os.path.getsize(str(tmp_path / f"flight_{i}.gif")) > 1000
     assert "animation saved" in out
+    # --live replays the first rollout offscreen under Agg
+    assert "live replay:" in out
 
 
 def test_evaluate_quad_analytic_wide_window(monkeypatch, capsys):
@@ -80,21 +85,24 @@ def test_evaluate_cartpole(monkeypatch, capsys):
     out = _run(
         "evaluate_cartpole",
         ["evaluate_cartpole.py", "-m", "assets/cartpole_balance_trained",
-         "-a", "4"],
+         "-a", "4", "--live"],
         monkeypatch, capsys,
     )
     metrics = json.loads(out[out.rindex("{"):])
     assert metrics["mean_stable"] > 200
+    assert "live replay: 250 frames" in out
 
 
 def test_evaluate_wing(monkeypatch, capsys):
     out = _run(
         "evaluate_wing",
-        ["evaluate_wing.py", "-m", "assets/wing_trained", "-a", "3"],
+        ["evaluate_wing.py", "-m", "assets/wing_trained", "-a", "3",
+         "--live"],
         monkeypatch, capsys,
     )
     metrics = json.loads(out[out.rindex("{"):])
     assert metrics["mean_success"] < 1.0  # meters from target
+    assert "live replay:" in out
 
 
 @pytest.mark.slow

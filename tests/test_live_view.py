@@ -1,0 +1,102 @@
+"""Live viewer (utils/live_view.py) — headless replay of flown rollouts.
+
+Counterpart of the reference's pyglet ``Renderer`` + scene objects
+(``neural_control/environments/rendering.py:57-308``). Under the Agg
+backend the viewer renders offscreen and ``render()`` returns RGB frames,
+which is what these tests assert on.
+"""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from apg_trajectory_tracking_tpu.utils.live_view import (
+    LiveViewer,
+    QuadCopter2D,
+    Trajectory,
+    replay_cartpole,
+    replay_quad,
+    replay_wing,
+)
+
+
+def _quad_states(t):
+    """Synthetic (T, 12) arc: x sweeps, z bobs, pitch oscillates."""
+    s = np.zeros((t, 12), dtype=np.float32)
+    ts = np.linspace(0, 1, t)
+    s[:, 0] = 5.0 * ts
+    s[:, 2] = 3.0 + np.sin(2 * np.pi * ts)
+    s[:, 4] = 0.3 * np.sin(4 * np.pi * ts)
+    return s
+
+
+def test_viewer_headless_returns_frames():
+    viewer = LiveViewer(dt=0.05, figsize=(2.0, 2.0))
+    assert not viewer.interactive  # Agg
+    assert not viewer.realtime  # no wall-clock pacing when headless
+    viewer.add_object("quad", QuadCopter2D())
+    viewer.add_object("ref", Trajectory(_quad_states(10)))
+    viewer.set_center((0.0, 3.0))
+    frame = viewer.render(quad=_quad_states(1)[0], ref=None)
+    assert frame.dtype == np.uint8
+    assert frame.ndim == 3 and frame.shape[2] == 3
+    assert frame.shape[0] > 50 and frame.shape[1] > 50
+    viewer.close()
+
+
+def test_replay_quad_collects_frames():
+    states = _quad_states(12)
+    n, frames = replay_quad(
+        states, reference=states[:, :3], dt=0.05, collect_every=4
+    )
+    assert n == 12
+    assert len(frames) == 3  # i = 0, 4, 8
+    # follow camera + moving quad: consecutive collected frames differ
+    assert not np.array_equal(frames[0], frames[-1])
+
+
+def test_replay_quad_max_frames():
+    n, _ = replay_quad(_quad_states(30), dt=0.05, max_frames=7)
+    assert n == 7
+
+
+def test_replay_cartpole():
+    t = 10
+    states = np.zeros((t, 4), dtype=np.float32)
+    states[:, 0] = np.linspace(-1, 1, t)
+    states[:, 2] = np.linspace(-0.2, 0.2, t)
+    n, frames = replay_cartpole(states, collect_every=1)
+    assert n == t and len(frames) == t
+    assert not np.array_equal(frames[0], frames[-1])
+
+
+def test_replay_wing():
+    t = 10
+    states = np.zeros((t, 12), dtype=np.float32)
+    states[:, 0] = np.linspace(0, 50, t)
+    states[:, 2] = np.linspace(0, 4, t)
+    states[:, 7] = 0.1
+    n, frames = replay_wing(
+        states, target=np.array([50.0, 0.0, 4.0]), collect_every=9
+    )
+    assert n == t and len(frames) == 2
+    assert not np.array_equal(frames[0], frames[-1])
+
+
+@pytest.mark.parametrize("shared", [True, False])
+def test_shared_viewer_vs_owned(shared):
+    """A caller-provided viewer is reused (and left open) — the CLIs'
+    pattern for replaying several rollouts into one window."""
+    states = _quad_states(5)
+    if shared:
+        viewer = LiveViewer(dt=0.05, figsize=(2.0, 2.0))
+        n, _ = replay_quad(states, viewer=viewer)
+        n2, _ = replay_quad(states, viewer=viewer)
+        assert n == n2 == 5
+        viewer.close()
+    else:
+        n, _ = replay_quad(states)
+        assert n == 5
