@@ -247,6 +247,22 @@ def _collect(frames, frame, i, every):
         frames.append(frame)
 
 
+def frames_to_gif(frames, path, dt=0.05):
+    """Export collected replay frames (list of (H, W, 3) uint8 arrays from
+    ``replay_*(..., collect_every=k)``) to a GIF at sim-time pacing — the
+    headless counterpart of watching the live window."""
+    from PIL import Image
+
+    if not frames:
+        raise ValueError("no frames to export")
+    imgs = [Image.fromarray(np.asarray(f)) for f in frames]
+    imgs[0].save(
+        path, save_all=True, append_images=imgs[1:],
+        duration=int(dt * 1000), loop=0,
+    )
+    return path
+
+
 def replay_quad(states, reference=None, dt=0.05, max_frames=None,
                 collect_every=0, viewer=None):
     """Replay a flown quad rollout. ``states``: (T, 12) host array (e.g.

@@ -17,6 +17,7 @@ from apg_trajectory_tracking_tpu.utils.live_view import (
     LiveViewer,
     QuadCopter2D,
     Trajectory,
+    frames_to_gif,
     replay_cartpole,
     replay_quad,
     replay_wing,
@@ -84,6 +85,17 @@ def test_replay_wing():
     )
     assert n == t and len(frames) == 2
     assert not np.array_equal(frames[0], frames[-1])
+
+
+def test_frames_to_gif(tmp_path):
+    _, frames = replay_quad(_quad_states(8), dt=0.05, collect_every=2)
+    out = str(tmp_path / "replay.gif")
+    frames_to_gif(frames, out, dt=0.05)
+    import os
+
+    assert os.path.getsize(out) > 1000
+    with pytest.raises(ValueError):
+        frames_to_gif([], out)
 
 
 @pytest.mark.parametrize("shared", [True, False])
