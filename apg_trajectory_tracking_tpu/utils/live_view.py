@@ -62,6 +62,12 @@ class LiveViewer:
             self.fig.show()
 
     def add_object(self, name, obj):
+        # replacing a named object removes its artists, so re-registering
+        # into a shared viewer (several replays, one window) leaves no
+        # frozen ghost of the previous vehicle
+        old = self.objects.get(name)
+        if old is not None:
+            old.remove()
         self.objects[name] = obj
         return obj
 
@@ -96,10 +102,28 @@ class LiveViewer:
         self._plt.close(self.fig)
 
 
-class Ground:
+class _SceneObject:
+    """Base scene object: tracks every artist it puts on the axes so the
+    viewer can cleanly replace it (``LiveViewer.add_object``)."""
+
+    def __init__(self):
+        self._created = []
+
+    def _track(self, *artists):
+        self._created.extend(artists)
+        return artists if len(artists) > 1 else artists[0]
+
+    def remove(self):
+        for a in self._created:
+            a.remove()
+        self._created = []
+
+
+class Ground(_SceneObject):
     """Stepped ground line (rendering.py:142-156)."""
 
     def __init__(self, y=0.0, extent=100.0, step=2.0):
+        super().__init__()
         self.y, self.extent, self.step = y, extent, step
         self._line = None
 
@@ -111,15 +135,18 @@ class Ground:
                 segs_x += [x, x + self.step, np.nan, x, x - 0.4, np.nan]
                 segs_y += [self.y, self.y, np.nan, self.y, self.y - 0.4,
                            np.nan]
-            (self._line,) = ax.plot(segs_x, segs_y, color="0.4", lw=1.0)
+            self._line = self._track(
+                ax.plot(segs_x, segs_y, color="0.4", lw=1.0)[0]
+            )
 
 
-class QuadCopter2D:
+class QuadCopter2D(_SceneObject):
     """Side-projection (x, z) quadcopter: pitch-tilted arm, two rotors,
     flown trace (rendering.py:158-213 draws the same arm+propeller scheme
     in the pyglet viewer)."""
 
     def __init__(self, arm=0.31, trace=True, color="C0"):
+        super().__init__()
         self.arm, self.color = arm, color
         self.trace_on = trace
         self._artists = None
@@ -137,11 +164,13 @@ class QuadCopter2D:
             (rotors,) = ax.plot([], [], "o", color=self.color, ms=5)
             (trace,) = ax.plot([], [], "-", color=self.color, alpha=0.35,
                                lw=1.0)
-            self._artists = (body, rotors, trace)
+            self._artists = self._track(body, rotors, trace)
         body, rotors, trace = self._artists
         body.set_data([x - ex, x + ex], [z - ez, z + ez])
+        # stalks sit perpendicular to the arm: (s, c) is the +90-degree
+        # rotation of the arm direction (c, -s)
         rotors.set_data(
-            [x - ex - rot_h * s, x + ex - rot_h * s],
+            [x - ex + rot_h * s, x + ex + rot_h * s],
             [z - ez + rot_h * c, z + ez + rot_h * c],
         )
         if self.trace_on:
@@ -150,30 +179,36 @@ class QuadCopter2D:
             trace.set_data(pts[:, 0], pts[:, 1])
 
 
-class Trajectory:
+class Trajectory(_SceneObject):
     """Static reference curve, drawn once (plot_ref_quad, rendering.py:
-    352-368)."""
+    352-368). ``flip_j=True`` negates the second plotted dimension
+    (NED z-down -> screen altitude-up, used by the wing replay)."""
 
-    def __init__(self, points, color="g", alpha=0.5, dims=(0, 2)):
+    def __init__(self, points, color="g", alpha=0.5, dims=(0, 2),
+                 flip_j=False):
+        super().__init__()
         self.points = np.asarray(points)
         self.color, self.alpha, self.dims = color, alpha, dims
+        self.flip_j = flip_j
         self._line = None
 
     def update(self, ax, _state=None):
         if self._line is None:
             i, j = self.dims
-            (self._line,) = ax.plot(
-                self.points[:, i], self.points[:, j], "-",
+            sign = -1.0 if self.flip_j else 1.0
+            self._line = self._track(ax.plot(
+                self.points[:, i], sign * self.points[:, j], "-",
                 color=self.color, alpha=self.alpha, lw=1.5,
-            )
+            )[0])
 
 
-class CartPole:
+class CartPole(_SceneObject):
     """Cart rectangle + pole line + track (the vendored gym viewer's scene,
     cartpole_rendering.py — state layout [x, x_dot, theta, theta_dot])."""
 
     def __init__(self, pole_len=1.2, cart_w=0.5, cart_h=0.3,
                  x_threshold=2.4, color="C1"):
+        super().__init__()
         self.pole_len, self.cart_w, self.cart_h = pole_len, cart_w, cart_h
         self.x_threshold, self.color = x_threshold, color
         self._artists = None
@@ -184,12 +219,15 @@ class CartPole:
         if self._artists is None:
             from matplotlib.patches import Rectangle
 
-            ax.plot([-self.x_threshold - 1, self.x_threshold + 1], [0, 0],
-                    color="0.4", lw=1.0)
+            (track,) = ax.plot(
+                [-self.x_threshold - 1, self.x_threshold + 1], [0, 0],
+                color="0.4", lw=1.0,
+            )
             cart = Rectangle((0, 0), self.cart_w, self.cart_h,
                              facecolor=self.color)
             ax.add_patch(cart)
             (pole,) = ax.plot([], [], color="0.2", lw=3.0)
+            self._track(track, cart, pole)
             self._artists = (cart, pole)
         cart, pole = self._artists
         cart.set_xy((x - self.cart_w / 2, -self.cart_h / 2))
@@ -198,12 +236,19 @@ class CartPole:
         pole.set_data([x, tip_x], [0.0, tip_z])
 
 
-class WingDrone:
+class WingDrone(_SceneObject):
     """Fixed-wing side view: pitch-rotated fuselage triangle + target
     marker (FixedWingDrone, rendering.py:214-308; wing state layout
-    [pos(3), vel(3), euler(3), omega(3)])."""
+    [pos NED(3), vel body(3), euler(3), omega(3)]).
+
+    The state's position is NED (z positive DOWN, fixed_wing.py:7 —
+    pz_dot = -u sin(theta)), so the screen's vertical axis is altitude
+    = -z: a climbing wing draws upward. Note this deliberately fixes the
+    reference viewer, which plots raw z (rendering.py:237) and therefore
+    mirrors climbs into dives."""
 
     def __init__(self, size=0.6, color="C2"):
+        super().__init__()
         self.size, self.color = size, color
         self._artists = None
         self._target = None
@@ -214,13 +259,15 @@ class WingDrone:
 
     def update(self, ax, state):
         state = np.asarray(state)
-        x, z, pitch = float(state[0]), float(state[2]), float(state[7])
-        # nose / tail-top / tail-bottom in body frame, pitched into world
+        x, alt = float(state[0]), -float(state[2])  # NED z -> altitude up
+        pitch = float(state[7])
+        # nose / tail-top / tail-bottom in body frame, pitched into the
+        # (x, altitude) plane: +pitch = nose up
         body = np.array([[1.0, 0.0], [-0.6, 0.25], [-0.6, -0.25]])
         body *= self.size
         c, s = np.cos(pitch), np.sin(pitch)
-        rot = np.array([[c, s], [-s, c]])  # +pitch = nose up in (x, z)
-        pts = body @ rot.T + np.array([x, z])
+        rot = np.array([[c, -s], [s, c]])
+        pts = body @ rot.T + np.array([x, alt])
         if self._artists is None:
             from matplotlib.patches import Polygon
 
@@ -228,18 +275,18 @@ class WingDrone:
             ax.add_patch(tri)
             (trace,) = ax.plot([], [], "-", color=self.color, alpha=0.35)
             (tgt,) = ax.plot([], [], "rx", ms=10)
+            self._track(tri, trace, tgt)
             self._artists = (tri, trace, [])
             self._tgt_artist = tgt
         tri, trace, pts_hist = self._artists
         tri.set_xy(pts)
-        pts_hist.append((x, z))
+        pts_hist.append((x, alt))
         h = np.asarray(pts_hist)
         trace.set_data(h[:, 0], h[:, 1])
         if self._target is not None:
-            self._tgt_artist.set_data(
-                [self._target[0]], [self._target[2] if len(self._target) > 2
-                                    else self._target[1]]
-            )
+            tz = (self._target[2] if len(self._target) > 2
+                  else self._target[1])
+            self._tgt_artist.set_data([self._target[0]], [-tz])
 
 
 def _collect(frames, frame, i, every):
@@ -247,10 +294,12 @@ def _collect(frames, frame, i, every):
         frames.append(frame)
 
 
-def frames_to_gif(frames, path, dt=0.05):
+def frames_to_gif(frames, path, dt=0.05, collect_every=1):
     """Export collected replay frames (list of (H, W, 3) uint8 arrays from
     ``replay_*(..., collect_every=k)``) to a GIF at sim-time pacing — the
-    headless counterpart of watching the live window."""
+    headless counterpart of watching the live window. Pass the same
+    ``collect_every`` used when collecting: each kept frame spans k sim
+    steps, so its display duration is ``dt * k``."""
     from PIL import Image
 
     if not frames:
@@ -258,7 +307,7 @@ def frames_to_gif(frames, path, dt=0.05):
     imgs = [Image.fromarray(np.asarray(f)) for f in frames]
     imgs[0].save(
         path, save_all=True, append_images=imgs[1:],
-        duration=int(dt * 1000), loop=0,
+        duration=int(dt * max(collect_every, 1) * 1000), loop=0,
     )
     return path
 
@@ -325,7 +374,7 @@ def replay_wing(states, target, dt=0.05, max_frames=None, collect_every=0,
     for i, s in enumerate(states):
         if max_frames is not None and i >= max_frames:
             break
-        viewer.set_center((s[0], s[2]))
+        viewer.set_center((s[0], -s[2]))  # NED z -> altitude up
         frame = viewer.render(wing=s)
         _collect(frames, frame, i, collect_every)
         n += 1

@@ -36,10 +36,11 @@ def main():
     parser.add_argument("-a", "--eval", type=int, default=10)
     parser.add_argument("--swingup", action="store_true")
     parser.add_argument("--sweep", action="store_true")
-    parser.add_argument("--live", action="store_true",
+    parser.add_argument("--live", nargs="?", type=int, const=-1,
+                        default=None, metavar="N",
                         help="replay one episode in the live 2D viewer "
                              "(interactive with a GUI backend, offscreen "
-                             "under Agg)")
+                             "under Agg); optional N caps the frames")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -105,7 +106,7 @@ def main():
     net, cfg = load_cartpole_controller(model_path, args.epoch)
     dt, horizon = cfg["delta_t"], cfg["horizon"]
 
-    if args.live:
+    if args.live is not None:
         # one closed-loop episode, states collected on device in a single
         # scan dispatch, then replayed at sim-time pacing on the host
         import jax.numpy as jnp
@@ -134,7 +135,9 @@ def main():
             return new_state, new_state[0]
 
         _, states = jax.lax.scan(body, s0, None, length=250)
-        n, _ = replay_cartpole(states, dt=dt)
+        n, _ = replay_cartpole(
+            states, dt=dt, max_frames=None if args.live < 0 else args.live
+        )
         print(f"live replay: {n} frames")
 
     def eval_with(modified_params):

@@ -109,10 +109,12 @@ def main():
     parser.add_argument("--animate", default=None, metavar="FILE.gif",
                         help="save a 3D flight animation of the first "
                              "rollouts (rand/poly/waypoint refs)")
-    parser.add_argument("--live", action="store_true",
+    parser.add_argument("--live", nargs="?", type=int, const=-1,
+                        default=None, metavar="N",
                         help="replay the first rollout in the live 2D "
                              "viewer (interactive with a GUI backend, "
-                             "offscreen under Agg; rendering.py:57-135)")
+                             "offscreen under Agg; rendering.py:57-135); "
+                             "optional N caps the frames")
     args = parser.parse_args()
 
     if args.cpu:
@@ -291,7 +293,9 @@ def main():
                         references[i], [states[i][valid[i]]], savefile=out,
                     )
                     print(f"animation saved to {out}")
-            if args.live:
+            if args.live is not None and not args.sweep:
+                # sweep calls eval_with once per parameter value — replay
+                # only on the single-eval path
                 from apg_trajectory_tracking_tpu.utils.live_view import (
                     replay_quad,
                 )
@@ -301,6 +305,7 @@ def main():
                 n, _ = replay_quad(
                     states[0][valid[0]], reference=np.asarray(references[0]),
                     dt=dt,
+                    max_frames=None if args.live < 0 else args.live,
                 )
                 print(f"live replay: {n} frames")
             return metrics

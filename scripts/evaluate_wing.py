@@ -38,10 +38,12 @@ def main():
     parser.add_argument("--mpc_horizon", type=int, default=10,
                         help="planning horizon for -m mpc (10 = the "
                              "reference's; 20 intercepts within ~0.0003 m)")
-    parser.add_argument("--live", action="store_true",
+    parser.add_argument("--live", nargs="?", type=int, const=-1,
+                        default=None, metavar="N",
                         help="replay the first episode in the live 2D "
                              "viewer (interactive with a GUI backend, "
-                             "offscreen under Agg)")
+                             "offscreen under Agg); optional N caps the "
+                             "frames")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -132,7 +134,9 @@ def main():
             nr_test=args.eval, thresh_div=cfg.get("thresh_div", 10.0),
             thresh_stable=3.0, horizon=horizon, dt=dt, test_time=True,
         )
-        if args.live:
+        if args.live is not None and not args.sweep:
+            # sweep calls eval_with once per parameter value — replay
+            # only on the single-eval path
             import numpy as np
             from apg_trajectory_tracking_tpu.utils.live_view import (
                 replay_wing,
@@ -141,7 +145,8 @@ def main():
             states = np.asarray(roll["states"])
             valid = np.asarray(roll["valid"])
             n, _ = replay_wing(
-                states[0][valid[0]], np.asarray(targets[0]), dt=dt
+                states[0][valid[0]], np.asarray(targets[0]), dt=dt,
+                max_frames=None if args.live < 0 else args.live,
             )
             print(f"live replay: {n} frames")
         return metrics

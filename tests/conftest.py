@@ -9,6 +9,13 @@ we override via ``jax.config`` and clear any already-initialized backends.
 
 import os
 
+# headless plotting everywhere: on a workstation with a display the live
+# viewer would otherwise open real windows and pace to wall-clock
+os.environ.setdefault("MPLBACKEND", "Agg")
+import matplotlib  # noqa: E402
+
+matplotlib.use("Agg", force=True)
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

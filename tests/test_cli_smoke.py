@@ -50,14 +50,14 @@ def test_evaluate_quad_animate(monkeypatch, capsys, tmp_path):
     out = _run(
         "evaluate_quad",
         ["evaluate_quad.py", "-m", "assets/quad_trained", "-a", "2",
-         "--animate", gif, "--live"],
+         "--animate", gif, "--live", "5"],
         monkeypatch, capsys,
     )
     for i in range(2):
         assert os.path.getsize(str(tmp_path / f"flight_{i}.gif")) > 1000
     assert "animation saved" in out
-    # --live replays the first rollout offscreen under Agg
-    assert "live replay:" in out
+    # --live N replays the first rollout offscreen under Agg, capped
+    assert "live replay: 5 frames" in out
 
 
 def test_evaluate_quad_analytic_wide_window(monkeypatch, capsys):
@@ -85,24 +85,24 @@ def test_evaluate_cartpole(monkeypatch, capsys):
     out = _run(
         "evaluate_cartpole",
         ["evaluate_cartpole.py", "-m", "assets/cartpole_balance_trained",
-         "-a", "4", "--live"],
+         "-a", "4", "--live", "8"],
         monkeypatch, capsys,
     )
     metrics = json.loads(out[out.rindex("{"):])
     assert metrics["mean_stable"] > 200
-    assert "live replay: 250 frames" in out
+    assert "live replay: 8 frames" in out
 
 
 def test_evaluate_wing(monkeypatch, capsys):
     out = _run(
         "evaluate_wing",
         ["evaluate_wing.py", "-m", "assets/wing_trained", "-a", "3",
-         "--live"],
+         "--live", "5"],
         monkeypatch, capsys,
     )
     metrics = json.loads(out[out.rindex("{"):])
     assert metrics["mean_success"] < 1.0  # meters from target
-    assert "live replay:" in out
+    assert "live replay: 5 frames" in out
 
 
 @pytest.mark.slow

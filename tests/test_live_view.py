@@ -90,12 +90,68 @@ def test_replay_wing():
 def test_frames_to_gif(tmp_path):
     _, frames = replay_quad(_quad_states(8), dt=0.05, collect_every=2)
     out = str(tmp_path / "replay.gif")
-    frames_to_gif(frames, out, dt=0.05)
+    frames_to_gif(frames, out, dt=0.05, collect_every=2)
     import os
 
     assert os.path.getsize(out) > 1000
+    # sim-time pacing: each kept frame spans collect_every sim steps
+    from PIL import Image
+
+    with Image.open(out) as img:
+        assert img.info["duration"] == 100  # 0.05 s * 2 * 1000
     with pytest.raises(ValueError):
         frames_to_gif([], out)
+
+
+def test_quad_rotor_stalks_perpendicular_to_arm():
+    """Regression: the stalk offset must be the +90-degree rotation of the
+    pitched arm direction, not of its mirror."""
+    viewer = LiveViewer(figsize=(2.0, 2.0))
+    quad = viewer.add_object("quad", QuadCopter2D(trace=False))
+    state = np.zeros(12, dtype=np.float32)
+    state[4] = 0.3  # pitch
+    viewer.render(quad=state)
+    body, rotors, _ = quad._artists
+    bx, bz = body.get_data()
+    rx, rz = rotors.get_data()
+    arm = np.array([bx[1] - bx[0], bz[1] - bz[0]])
+    stalk = np.array([rx[0] - bx[0], rz[0] - bz[0]])
+    assert abs(np.dot(arm, stalk)) < 1e-6
+    viewer.close()
+
+
+def test_wing_ned_altitude_up():
+    """The wing state is NED (z positive down): a climbing wing must trace
+    UPWARD on screen, and the target marker must flip the same way."""
+    from apg_trajectory_tracking_tpu.utils.live_view import WingDrone
+
+    viewer = LiveViewer(figsize=(2.0, 2.0))
+    drone = viewer.add_object("wing", WingDrone())
+    drone.set_target(np.array([30.0, 0.0, -5.0]))  # 5 m ABOVE start
+    climb = np.zeros((4, 12), dtype=np.float32)
+    climb[:, 0] = np.linspace(0, 10, 4)
+    climb[:, 2] = np.linspace(0, -4, 4)  # NED: climbing
+    for s in climb:
+        viewer.render(wing=s)
+    _, trace, _ = drone._artists
+    ys = trace.get_data()[1]
+    assert np.all(np.diff(ys) > 0)  # screen altitude increases
+    tx, ty = drone._tgt_artist.get_data()
+    assert ty[0] == 5.0
+    viewer.close()
+
+
+def test_add_object_removes_replaced_artists():
+    """Re-registering a name into a shared viewer must not leave the old
+    object's artists frozen on the axes (ghost vehicles)."""
+    viewer = LiveViewer(figsize=(2.0, 2.0))
+    viewer.add_object("quad", QuadCopter2D())
+    viewer.render(quad=_quad_states(1)[0])
+    n_artists = len(viewer.ax.lines)
+    viewer.add_object("quad", QuadCopter2D())
+    viewer.render(quad=_quad_states(1)[0])
+    assert len(viewer.ax.lines) == n_artists
+    viewer.close()
 
 
 @pytest.mark.parametrize("shared", [True, False])
