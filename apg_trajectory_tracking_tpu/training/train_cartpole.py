@@ -194,6 +194,7 @@ class TrainCartpole:
             save_train_state(
                 self.save_path, "model_cartpole", self.net, self.opt_state,
                 {**cfg, "thresh_div": self.thresh_div},
+                backend=cfg.get("checkpoint_backend", "npz"),
             )
         return res
 
@@ -213,15 +214,19 @@ class TrainCartpole:
     def finalize(self):
         # keep the best-by-criterion model_cartpole (saved in evaluate());
         # final-epoch weights under a distinct name
+        from apg_trajectory_tracking_tpu.utils.checkpoints import (
+            checkpoint_exists,
+        )
+
+        backend = self.config.get("checkpoint_backend", "npz")
         save_train_state(
             self.save_path, "model_cartpole_final", self.net, self.opt_state,
-            {**self.config, "thresh_div": self.thresh_div},
+            {**self.config, "thresh_div": self.thresh_div}, backend=backend,
         )
-        if not os.path.exists(
-            os.path.join(self.save_path, "model_cartpole.npz")
-        ):
+        if not checkpoint_exists(self.save_path, "model_cartpole"):
             save_train_state(
                 self.save_path, "model_cartpole", self.net, self.opt_state,
                 {**self.config, "thresh_div": self.thresh_div},
+                backend=backend,
             )
         self.logger.finalize()

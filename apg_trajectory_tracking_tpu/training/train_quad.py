@@ -550,6 +550,7 @@ class TrainQuad:
                 "ref_length": self.ref_length,
                 "minjerk_mix": self.minjerk_mix,
             },
+            backend=self.config.get("checkpoint_backend", "npz"),
         )
 
     def finalize(self):
@@ -559,6 +560,10 @@ class TrainQuad:
         # improvement was ever recorded, in which case the final state is
         # the only checkpoint
         self._save(suffix="_final")
-        if not os.path.exists(os.path.join(self.save_path, "model_quad.npz")):
+        from apg_trajectory_tracking_tpu.utils.checkpoints import (
+            checkpoint_exists,
+        )
+
+        if not checkpoint_exists(self.save_path, "model_quad"):
             self._save()
         self.logger.finalize()

@@ -276,12 +276,17 @@ class TrainWing:
                 "mean": np.asarray(self.mean).tolist(),
                 "std": np.asarray(self.std).tolist(),
             },
+            backend=self.config.get("checkpoint_backend", "npz"),
         )
 
     def finalize(self):
         # keep the best-by-criterion model_wing (saved in evaluate());
         # final-epoch weights under a distinct name
         self._save(suffix="_final")
-        if not os.path.exists(os.path.join(self.save_path, "model_wing.npz")):
+        from apg_trajectory_tracking_tpu.utils.checkpoints import (
+            checkpoint_exists,
+        )
+
+        if not checkpoint_exists(self.save_path, "model_wing"):
             self._save()
         self.logger.finalize()

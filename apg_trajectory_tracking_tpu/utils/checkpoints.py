@@ -6,6 +6,16 @@ train_base.py:233-259) with a portable scheme: pytree arrays in an .npz
 in a config.json next to it — same directory layout as the reference
 (``trained_models/<system>/<save_name>/``), loading restores both
 (evaluate_base.py:11-21).
+
+Two array backends behind the same API:
+  * ``npz`` (default) — single-file, human-greppable, fine for the small
+    controllers here; the save gathers every array to the host.
+  * ``orbax`` — Orbax StandardCheckpointer (SURVEY.md §5.4's TPU-native
+    scheme): on a multi-host mesh each process writes only its own array
+    shards (no gather-to-host-0), and restore places arrays back onto the
+    template's shardings. Select with ``checkpoint_backend: "orbax"`` in a
+    trainer config or ``backend="orbax"``; loading auto-detects either
+    format, so eval CLIs and ``--base_model`` work across both.
 """
 
 import json
@@ -25,11 +35,34 @@ def _flatten(tree):
     return out, treedef
 
 
-def save_checkpoint(save_dir, name, tree, config=None):
+def _orbax_path(save_dir, name):
+    # orbax requires an absolute directory path
+    return os.path.abspath(os.path.join(save_dir, f"{name}.orbax"))
+
+
+def checkpoint_exists(save_dir, name):
+    """True if ``name`` is saved under ``save_dir`` in either backend."""
+    return os.path.exists(os.path.join(save_dir, f"{name}.npz")) \
+        or os.path.isdir(_orbax_path(save_dir, name))
+
+
+def save_checkpoint(save_dir, name, tree, config=None, backend="npz"):
     """Save a pytree of arrays + optional config dict."""
     os.makedirs(save_dir, exist_ok=True)
-    flat, _ = _flatten(tree)
-    np.savez(os.path.join(save_dir, f"{name}.npz"), **flat)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        # StandardCheckpointer writes asynchronously; block so the
+        # checkpoint is durable when save returns (training saves are
+        # off the hot path — at most once per epoch)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(_orbax_path(save_dir, name), tree, force=True)
+        ckptr.wait_until_finished()
+    elif backend == "npz":
+        flat, _ = _flatten(tree)
+        np.savez(os.path.join(save_dir, f"{name}.npz"), **flat)
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     if config is not None:
         clean = {}
         for k, v in config.items():
@@ -42,8 +75,26 @@ def save_checkpoint(save_dir, name, tree, config=None):
 
 
 def load_checkpoint(save_dir, name, template):
-    """Load arrays back into the structure of ``template``."""
-    data = np.load(os.path.join(save_dir, f"{name}.npz"))
+    """Load arrays back into the structure of ``template``. Auto-detects
+    the backend; an orbax restore places each array onto the template
+    leaf's sharding (so a mesh-replicated template comes back replicated,
+    an env-sharded buffer comes back sharded)."""
+    npz_path = os.path.join(save_dir, f"{name}.npz")
+    if not os.path.exists(npz_path) and os.path.isdir(
+        _orbax_path(save_dir, name)
+    ):
+        import orbax.checkpoint as ocp
+
+        def abstract(leaf):
+            arr = jnp.asarray(leaf)
+            return jax.ShapeDtypeStruct(
+                arr.shape, arr.dtype, sharding=getattr(leaf, "sharding", None)
+            )
+
+        return ocp.StandardCheckpointer().restore(
+            _orbax_path(save_dir, name), jax.tree.map(abstract, template)
+        )
+    data = np.load(npz_path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for path, leaf in flat:
@@ -73,18 +124,19 @@ def resume_name(save_dir, base):
     (``<base>_final``, written by finalize) when present, else the
     unsuffixed best-by-criterion one. Keeps resume = continue-from-where-
     training-stopped while eval CLIs load the best model by default."""
-    if os.path.exists(os.path.join(save_dir, f"{base}_final.npz")):
+    if checkpoint_exists(save_dir, f"{base}_final"):
         return f"{base}_final"
     return base
 
 
-def save_train_state(save_dir, name, net, opt_state, config=None):
+def save_train_state(save_dir, name, net, opt_state, config=None,
+                     backend="npz"):
     """Save net + optimizer state (+ config): the full resumable train
     state (the reference resumes from ``base_model`` whole-module pickles,
     train_drone.py:58-68; here optimizer momentum and curriculum scalars
     survive the round trip too)."""
-    save_checkpoint(save_dir, name, net, config)
-    save_checkpoint(save_dir, f"{name}_opt", opt_state)
+    save_checkpoint(save_dir, name, net, config, backend=backend)
+    save_checkpoint(save_dir, f"{name}_opt", opt_state, backend=backend)
 
 
 def restore_train_state(save_dir, name, net_template, opt_template=None):
@@ -99,15 +151,15 @@ def restore_train_state(save_dir, name, net_template, opt_template=None):
     """
     net = load_checkpoint(save_dir, name, net_template)
     opt_state = opt_template
-    if opt_template is not None and os.path.exists(
-        os.path.join(save_dir, f"{name}_opt.npz")
+    if opt_template is not None and checkpoint_exists(
+        save_dir, f"{name}_opt"
     ):
         try:
             opt_state = load_checkpoint(
                 save_dir, f"{name}_opt", opt_template
             )
-        except KeyError:
-            print(f"{name}_opt.npz structure doesn't match this "
+        except (KeyError, ValueError):
+            print(f"{name}_opt checkpoint structure doesn't match this "
                   "optimizer; starting with fresh optimizer state")
     cfg = {}
     if os.path.exists(os.path.join(save_dir, "config.json")):

@@ -18,6 +18,10 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--base_model", default=None,
                         help="checkpoint dir to resume/fine-tune from")
+    parser.add_argument("--ckpt_backend", default=None,
+                        choices=["npz", "orbax"],
+                        help="checkpoint array backend (default npz; orbax "
+                             "writes per-host shards on multi-host meshes)")
     parser.add_argument("--tensorboard", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--smoke", action="store_true",
@@ -52,6 +56,8 @@ def main():
     if args.smoke:
         overrides = {"sample_data": 200, "nr_epochs": 3}
     config = load_config("cartpole", overrides)
+    if args.ckpt_backend:
+        config["checkpoint_backend"] = args.ckpt_backend
     mesh = None
     if args.devices is not None:
         from apg_trajectory_tracking_tpu.parallel.mesh import make_mesh

@@ -24,6 +24,10 @@ def main():
     parser.add_argument("--no-curriculum", action="store_true")
     parser.add_argument("--base_model", default=None,
                         help="checkpoint dir to resume/fine-tune from")
+    parser.add_argument("--ckpt_backend", default=None,
+                        choices=["npz", "orbax"],
+                        help="checkpoint array backend (default npz; orbax "
+                             "writes per-host shards on multi-host meshes)")
     parser.add_argument("--tensorboard", action="store_true",
                         help="also log scalars to TensorBoard")
     parser.add_argument("--minjerk_mix", type=float, default=0.0,
@@ -61,6 +65,8 @@ def main():
     if args.smoke:
         overrides = {"epoch_size": 64, "nr_epochs": 2, "self_play": 1}
     config = load_config("quad", overrides)
+    if args.ckpt_backend:
+        config["checkpoint_backend"] = args.ckpt_backend
     mesh = None
     if args.devices is not None:
         from apg_trajectory_tracking_tpu.parallel.mesh import make_mesh
