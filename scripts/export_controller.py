@@ -75,11 +75,16 @@ def _infer_system(model_dir, cfg):
     without the key)."""
     if cfg.get("system"):
         return cfg["system"]
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        checkpoint_exists,
+    )
+
     for system in ("quad", "wing", "cartpole"):
-        if os.path.exists(os.path.join(model_dir, f"model_{system}.npz")):
+        if checkpoint_exists(model_dir, f"model_{system}"):
             return system
     raise ValueError(
-        f"{model_dir}: no 'system' in config.json and no model_*.npz found"
+        f"{model_dir}: no 'system' in config.json and no model_{{quad,wing,"
+        "cartpole}} checkpoint found"
     )
 
 
@@ -178,7 +183,19 @@ def main():
                     help="output .apgc path (default: <model_dir>/controller.apgc)")
     ap.add_argument("--system", default="quad",
                     help="system for run-name resolution (default quad)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (exports are host-side; "
+                         "avoids TPU-tunnel init)")
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
 
     model_dir = resolve_model_dir(args.model, args.system)
     out_path = args.out or os.path.join(model_dir, "controller.apgc")
