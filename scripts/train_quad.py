@@ -40,6 +40,10 @@ def main():
     parser.add_argument("--devices", type=int, default=None,
                         help="cap the mesh at this many devices "
                              "(default: all)")
+    parser.add_argument("--data_dir", default="data/traj_data",
+                        help="trajectory bank directory (generate a "
+                             "reference-scale 9k/1k one with "
+                             "scripts/generate_trajectories.py)")
     args = parser.parse_args()
 
     if args.distributed:
@@ -76,7 +80,7 @@ def main():
         config, train_mode=args.mode, seed=args.seed,
         save_name=args.save_name, curriculum=not args.no_curriculum,
         base_model=args.base_model, tensorboard=args.tensorboard,
-        minjerk_mix=args.minjerk_mix, mesh=mesh,
+        minjerk_mix=args.minjerk_mix, mesh=mesh, data_dir=args.data_dir,
     )
     print(f"mesh: {dict(trainer.mesh.shape)} over "
           f"{trainer.mesh.size} device(s)")
