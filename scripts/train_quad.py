@@ -44,6 +44,16 @@ def main():
                         help="trajectory bank directory (generate a "
                              "reference-scale 9k/1k one with "
                              "scripts/generate_trajectories.py)")
+    parser.add_argument("-o", "--override", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="override a config key (JSON-parsed value; "
+                             "repeatable), e.g. -o speed_factor=0.4 "
+                             "-o suc_up_down=-1 — the reference's shipped "
+                             "net used speed_factor 0.4 fixed, "
+                             "thresh_div_start 1, suc_up_down -1 "
+                             "(trained_models/quad/current_model/"
+                             "config.json) rather than the curriculum "
+                             "defaults in configs/quad_config.json")
     args = parser.parse_args()
 
     if args.distributed:
@@ -68,6 +78,16 @@ def main():
     overrides = {}
     if args.smoke:
         overrides = {"epoch_size": 64, "nr_epochs": 2, "self_play": 1}
+    import json
+
+    for item in args.override:
+        key, _, raw = item.partition("=")
+        if not _:
+            parser.error(f"--override expects KEY=VALUE, got {item!r}")
+        try:
+            overrides[key] = json.loads(raw)
+        except json.JSONDecodeError:
+            overrides[key] = raw
     config = load_config("quad", overrides)
     if args.ckpt_backend:
         config["checkpoint_backend"] = args.ckpt_backend
