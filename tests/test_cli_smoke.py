@@ -211,3 +211,26 @@ def test_evaluate_epochs(monkeypatch, capsys, tmp_path):
     )
     assert os.path.exists(os.path.join(model_dir, "epoch_sweep.csv")) \
         or "epoch" in out
+
+
+def test_train_quad_override_flag(monkeypatch, capsys, tmp_path):
+    """`train_quad.py --smoke -o key=value` applies JSON-parsed config
+    overrides (the mechanism behind the reference-shipped-recipe runs:
+    fixed speed_factor, thresh_div_start 1, suc_up_down -1)."""
+    monkeypatch.chdir(tmp_path)
+    os.symlink(os.path.join(REPO, "data"), "data")
+    _run(
+        "train_quad",
+        ["train_quad.py", "-s", "ovr", "--smoke", "--no-curriculum",
+         "-o", "suc_up_down=-1", "-o", "thresh_div_start=1.5",
+         "-o", "speed_factor=0.4"],
+        monkeypatch, capsys, cwd=tmp_path,
+    )
+    with open(os.path.join(
+            "trained_models", "quad", "ovr", "config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["suc_up_down"] == -1
+    assert cfg["speed_factor"] == 0.4
+    # thresh_div snapshots the live curriculum value, seeded from the
+    # overridden thresh_div_start (epoch-0 eval advances it by 0.05)
+    assert cfg["thresh_div"] >= 1.5
