@@ -285,6 +285,7 @@ def main():
                         help="bank with a >=--eval-file test split")
     parser.add_argument("--apg", nargs="*",
                         default=["assets/quad_trained",
+                                 "assets/quad_trained_9k",
                                  "assets/quad_minjerk_trained",
                                  "assets/quad_mpc_distilled",
                                  "assets/quad_mpc_distilled_stable",

@@ -22,10 +22,13 @@ def _run(module, argv, monkeypatch, capsys, cwd=REPO):
     return capsys.readouterr().out
 
 
-def test_evaluate_quad_rand(monkeypatch, capsys):
+@pytest.mark.parametrize(
+    "asset", ["assets/quad_trained", "assets/quad_trained_9k"]
+)
+def test_evaluate_quad_rand(monkeypatch, capsys, asset):
     out = _run(
         "evaluate_quad",
-        ["evaluate_quad.py", "-m", "assets/quad_trained", "-a", "4"],
+        ["evaluate_quad.py", "-m", asset, "-a", "4"],
         monkeypatch, capsys,
     )
     metrics = json.loads(out[out.rindex("{"):])
