@@ -111,18 +111,22 @@ def build_concurrent_step(dyn_step, optimizer, dt, horizon, action_dim=4,
 
 
 def build_recurrent_step(
-    dyn_step, optimizer, dt, horizon, action_dim=4, lstm=False
+    dyn_step, optimizer, dt, horizon, action_dim=4, lstm=False,
+    lstm_hidden=8,
 ):
     """Autoregressive / LSTM-mode SGD step (train_drone.py:113-173).
 
     The reference window here is 2*horizon long (train_base.py:119-121); at
     inner step k the net sees window[k:k+horizon] with positions re-centered
     on the current drone position, and the state features are recomputed.
+
+    ``lstm_hidden=8`` matches the reference's LSTM_NEW cell; wider cells
+    (config key ``hidden``) are a beyond-reference capacity option.
     """
 
     def loss_fn(net_params, dyn_params, states, refs2h):
         batch = states.shape[0]
-        carry0 = init_lstm_state(batch) if lstm else None
+        carry0 = init_lstm_state(batch, hidden=lstm_hidden) if lstm else None
 
         # drone-centric frame: refs relative to the start position, start
         # position zeroed (QuadDataset.prepare_data, dataset.py:169-175)
@@ -238,9 +242,12 @@ class TrainQuad:
             else self.action_dim
         )
         if self.mode == "LSTM":
+            # cell width: reference default 8; config "hidden" widens it
+            # (the eval/export loaders already read cfg["hidden"])
+            self.lstm_hidden = cfg.get("hidden", 8)
             self.net = init_lstm_net(
                 k_net, IN_STATE_SIZE, self.horizon, cfg["ref_dim"],
-                out_dim, conv=True,
+                out_dim, conv=True, hidden=self.lstm_hidden,
             )
         else:
             self.net = init_control_net(
@@ -305,6 +312,7 @@ class TrainQuad:
             step = build_recurrent_step(
                 dyn_step, self.optimizer, self.dt, self.horizon,
                 self.action_dim, lstm=(self.mode == "LSTM"),
+                lstm_hidden=getattr(self, "lstm_hidden", 8),
             )
         self._train_epoch = make_sharded_epoch(self.mesh, step)
 
@@ -362,7 +370,9 @@ class TrainQuad:
         eval_kwargs = {}
         if self.mode == "LSTM":
             eval_kwargs["net_apply"] = lstm_net_apply
-            eval_kwargs["net_carry"] = init_lstm_state(nr_test)
+            eval_kwargs["net_carry"] = init_lstm_state(
+                nr_test, hidden=self.lstm_hidden
+            )
         if self.ref_length != self.horizon:
             eval_kwargs["window_len"] = self.ref_length
         metrics, roll = run_eval(
