@@ -247,11 +247,27 @@ def main():
         net, opt_state = fit_steps(
             net, opt_state, states, windows, target_logits, args.steps
         )
+    # save-on-improvement so an interrupted run keeps its best round
+    from apg_trajectory_tracking_tpu.utils.checkpoints import save_checkpoint
+
+    save_path = os.path.join("trained_models", "quad", args.save_name)
+    student_cfg = {
+        "train_mode": "concurrent", "horizon": horizon, "ref_dim": 9,
+        "action_dim": 4, "delta_t": dt, "speed_factor": args.speed,
+        "hidden": args.hidden, "net_window": sw, "ref_length": sw,
+        "distilled_from": "mpc_adam", "mpc_iters": args.mpc_iters,
+        "teacher_horizon": th,
+    }
+
+    def save_best(net):
+        save_checkpoint(save_path, "model_quad", net, student_cfg)
+
     m = eval50(net)
     print("cloned:", json.dumps(
         {"err": round(m["mean_divergence"], 4),
          "stable": m["ratio_stable"]}), flush=True)
     best_net, best_err = net, m["mean_divergence"]
+    save_best(best_net)
 
     # DAgger rounds: aggregate states the STUDENT visits, labeled by the
     # teacher, and keep training on the union
@@ -294,23 +310,13 @@ def main():
              "stable": m["ratio_stable"]}), flush=True)
         if m["mean_divergence"] < best_err:
             best_net, best_err = net, m["mean_divergence"]
-    # ship the best-by-error round (round-to-round eval noise ~0.003)
+            save_best(best_net)
+    # the shipped checkpoint is the best-by-error round (round-to-round
+    # eval noise ~0.003); model only — the distillation optimizer (Adam)
+    # is not the APG trainer's (SGD-momentum), so its state is not
+    # resumable anyway
     net = best_net
     print(f"best round err {best_err:.4f}")
-
-    # model only: the distillation optimizer (Adam) is not the APG
-    # trainer's (SGD-momentum), so its state is not resumable anyway
-    from apg_trajectory_tracking_tpu.utils.checkpoints import save_checkpoint
-
-    save_path = os.path.join("trained_models", "quad", args.save_name)
-    save_checkpoint(
-        save_path, "model_quad", net,
-        {"train_mode": "concurrent", "horizon": horizon, "ref_dim": 9,
-         "action_dim": 4, "delta_t": dt, "speed_factor": args.speed,
-         "hidden": args.hidden, "net_window": sw, "ref_length": sw,
-         "distilled_from": "mpc_adam", "mpc_iters": args.mpc_iters,
-         "teacher_horizon": th},
-    )
     print("saved to", save_path)
 
     # 4. optional APG fine-tune from the distilled weights
