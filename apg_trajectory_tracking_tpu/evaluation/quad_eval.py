@@ -158,7 +158,7 @@ def follow_analytic(
         ref_window_fn: (state (12,)) -> (horizon, 9) min-jerk window.
         project_fn: (pos (3,)) -> (3,) projection onto the reference.
         init_state: (n, 12) initial states.
-    Returns dict: divergences (n, T), valid (n, T).
+    Returns dict: divergences (n, T), valid (n, T), states (n, T, 12).
     """
 
     @partial(jax.jit, static_argnames=())
@@ -179,14 +179,20 @@ def follow_analytic(
             step_valid = ~done
             new_done = jnp.logical_or(done, diverged)
             next_state = jnp.where(done[:, None], state, new_state)
-            return (next_state, new_done, nc), (div, step_valid)
+            return (next_state, new_done, nc), (div, step_valid, next_state)
 
         init = (init_state, jnp.zeros(n, dtype=bool), net_carry)
-        _, (divs, valid) = jax.lax.scan(body, init, jnp.arange(max_steps))
-        return jnp.swapaxes(divs, 0, 1), jnp.swapaxes(valid, 0, 1)
+        _, (divs, valid, states) = jax.lax.scan(
+            body, init, jnp.arange(max_steps)
+        )
+        return (
+            jnp.swapaxes(divs, 0, 1),
+            jnp.swapaxes(valid, 0, 1),
+            jnp.swapaxes(states, 0, 1),
+        )
 
-    divs, valid = _run(net_params, dyn_params, init_state)
-    return {"divergences": divs, "valid": valid}
+    divs, valid, states = _run(net_params, dyn_params, init_state)
+    return {"divergences": divs, "valid": valid, "states": states}
 
 
 def run_eval(

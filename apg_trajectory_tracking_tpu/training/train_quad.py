@@ -241,6 +241,25 @@ class TrainQuad:
             if self.mode == "concurrent"
             else self.action_dim
         )
+        # a resumed run must build the base checkpoint's architecture: the
+        # npz loader replaces template leaves without shape checks, so a
+        # width mismatch would load anyway and crash far away inside jit
+        if base_model is not None:
+            base_cfg_path = os.path.join(base_model, "config.json")
+            if os.path.isfile(base_cfg_path):
+                import json as _json
+
+                with open(base_cfg_path) as f:
+                    base_hidden = _json.load(f).get("hidden")
+                if base_hidden is not None:
+                    if cfg.get("hidden", base_hidden) != base_hidden:
+                        raise ValueError(
+                            f"--base_model was trained with hidden="
+                            f"{base_hidden} but this config asks for "
+                            f"hidden={cfg['hidden']}; drop the override "
+                            f"or match the base width"
+                        )
+                    cfg["hidden"] = base_hidden
         if self.mode == "LSTM":
             # cell width: reference default 8; config "hidden" widens it
             # (the eval/export loaders already read cfg["hidden"])

@@ -63,7 +63,10 @@ def save_checkpoint(save_dir, name, tree, config=None, backend="npz"):
         np.savez(os.path.join(save_dir, f"{name}.npz"), **flat)
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
-    if config is not None:
+    # on a multi-host mesh only process 0 writes the (replicated) config —
+    # orbax coordinates the array shards itself, but N processes dumping
+    # the same config.json onto shared storage would interleave
+    if config is not None and jax.process_index() == 0:
         clean = {}
         for k, v in config.items():
             if isinstance(v, (np.ndarray, jnp.ndarray)):
@@ -80,8 +83,15 @@ def load_checkpoint(save_dir, name, template):
     leaf's sharding (so a mesh-replicated template comes back replicated,
     an env-sharded buffer comes back sharded)."""
     npz_path = os.path.join(save_dir, f"{name}.npz")
-    if not os.path.exists(npz_path) and os.path.isdir(
-        _orbax_path(save_dir, name)
+    orbax_dir = _orbax_path(save_dir, name)
+    has_npz = os.path.exists(npz_path)
+    has_orbax = os.path.isdir(orbax_dir)
+    # when a run dir holds BOTH backends (e.g. re-trained with
+    # --ckpt_backend orbax over an old npz run), load the newer one
+    # rather than silently preferring the stale npz
+    if has_orbax and (
+        not has_npz
+        or os.path.getmtime(orbax_dir) >= os.path.getmtime(npz_path)
     ):
         import orbax.checkpoint as ocp
 

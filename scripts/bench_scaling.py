@@ -40,12 +40,11 @@ def main():
             os.environ.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=8"
         ).strip()
-        import jax
+        from apg_trajectory_tracking_tpu.utils.backend import (
+            force_cpu_backend,
+        )
 
-        jax.config.update("jax_platforms", "cpu")
-        from jax.extend.backend import clear_backends
-
-        clear_backends()
+        force_cpu_backend()
 
     import numpy as np
     import jax

@@ -316,15 +316,11 @@ def main():
     args = parser.parse_args()
 
     if args.cpu:
-        import jax
+        from apg_trajectory_tracking_tpu.utils.backend import (
+            force_cpu_backend,
+        )
 
-        jax.config.update("jax_platforms", "cpu")
-        try:
-            from jax.extend.backend import clear_backends
-
-            clear_backends()
-        except Exception:
-            pass
+        force_cpu_backend()
 
     from apg_trajectory_tracking_tpu.evaluation.compare import format_table
 

@@ -22,15 +22,11 @@ def main():
     args = parser.parse_args()
 
     if args.cpu:
-        import jax
+        from apg_trajectory_tracking_tpu.utils.backend import (
+            force_cpu_backend,
+        )
 
-        jax.config.update("jax_platforms", "cpu")
-        try:
-            from jax.extend.backend import clear_backends
-
-            clear_backends()
-        except Exception:
-            pass
+        force_cpu_backend()
 
     import numpy as np
     import jax.numpy as jnp
@@ -44,11 +40,13 @@ def main():
     )
 
     model_path = resolve_model_dir(args.model, "quad")
-    epochs = sorted(
+    # epoch snapshots exist in either checkpoint backend: model_quadN.npz
+    # files or model_quadN.orbax directories
+    epochs = sorted({
         int(m.group(1))
         for f in os.listdir(model_path)
-        if (m := re.match(r"model_quad(\d+)\.npz", f))
-    )
+        if (m := re.match(r"model_quad(\d+)\.(npz|orbax)", f))
+    })
     if not epochs:
         print("no epoch checkpoints found")
         return

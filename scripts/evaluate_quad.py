@@ -118,15 +118,11 @@ def main():
     args = parser.parse_args()
 
     if args.cpu:
-        import jax
+        from apg_trajectory_tracking_tpu.utils.backend import (
+            force_cpu_backend,
+        )
 
-        jax.config.update("jax_platforms", "cpu")
-        try:
-            from jax.extend.backend import clear_backends
-
-            clear_backends()
-        except Exception:
-            pass
+        force_cpu_backend()
 
     import numpy as np
     import jax
@@ -385,6 +381,15 @@ def main():
     print(f"{args.ref}: avg divergence {err:.3f}, "
           f"mean steps before divergence "
           f"{valid.sum(axis=1).mean():.1f}")
+    if args.live is not None:
+        from apg_trajectory_tracking_tpu.utils.live_view import replay_quad
+
+        states = np.asarray(roll["states"])
+        n_frames, _ = replay_quad(
+            states[0][valid[0]], dt=dt,
+            max_frames=None if args.live < 0 else args.live,
+        )
+        print(f"live replay: {n_frames} frames")
 
 
 if __name__ == "__main__":

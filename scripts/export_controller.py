@@ -189,13 +189,11 @@ def main():
     args = ap.parse_args()
 
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-        try:
-            from jax.extend.backend import clear_backends
+        from apg_trajectory_tracking_tpu.utils.backend import (
+            force_cpu_backend,
+        )
 
-            clear_backends()
-        except Exception:
-            pass
+        force_cpu_backend()
 
     model_dir = resolve_model_dir(args.model, args.system)
     out_path = args.out or os.path.join(model_dir, "controller.apgc")

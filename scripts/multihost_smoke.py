@@ -44,15 +44,11 @@ def run_worker(args):
     set_device_count(args.local_devices)
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    try:
-        from jax.extend.backend import clear_backends
-
-        clear_backends()
-    except Exception:
-        pass
     sys.path.insert(0, REPO)
+    from apg_trajectory_tracking_tpu.utils.backend import force_cpu_backend
+
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    force_cpu_backend()
     from apg_trajectory_tracking_tpu.parallel.mesh import init_distributed
 
     init_distributed(

@@ -36,15 +36,11 @@ def main():
         init_distributed()
 
     if args.cpu:
-        import jax
+        from apg_trajectory_tracking_tpu.utils.backend import (
+            force_cpu_backend,
+        )
 
-        jax.config.update("jax_platforms", "cpu")
-        try:
-            from jax.extend.backend import clear_backends
-
-            clear_backends()
-        except Exception:
-            pass
+        force_cpu_backend()
 
     from apg_trajectory_tracking_tpu.training.train_wing import TrainWing
     from apg_trajectory_tracking_tpu.training.common import load_config

@@ -10,11 +10,16 @@ we override via ``jax.config`` and clear any already-initialized backends.
 import os
 
 # headless plotting everywhere: on a workstation with a display the live
-# viewer would otherwise open real windows and pace to wall-clock
+# viewer would otherwise open real windows and pace to wall-clock.
+# matplotlib is an optional extra — without it the viz tests skip
+# themselves but the rest of the suite must still collect and run
 os.environ.setdefault("MPLBACKEND", "Agg")
-import matplotlib  # noqa: E402
+try:
+    import matplotlib
 
-matplotlib.use("Agg", force=True)
+    matplotlib.use("Agg", force=True)
+except ImportError:  # pragma: no cover
+    pass
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -22,15 +27,11 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax  # noqa: E402
+from apg_trajectory_tracking_tpu.utils.backend import (  # noqa: E402
+    force_cpu_backend,
+)
 
-jax.config.update("jax_platforms", "cpu")
-try:
-    from jax.extend.backend import clear_backends
-
-    clear_backends()
-except Exception:  # pragma: no cover
-    pass
+force_cpu_backend()
 
 import pytest  # noqa: E402
 

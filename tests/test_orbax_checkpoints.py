@@ -114,8 +114,32 @@ def test_trainer_orbax_backend(tmp_path, monkeypatch):
         jax.random.PRNGKey(1), cfg["state_size"],
         cfg["horizon"] * cfg["action_dim"],
     )
+    # model_cartpole is the best-by-criterion snapshot (any epoch);
+    # model_cartpole_final is the final-epoch state == t.net, so the
+    # roundtrip must be EXACT there — this catches wrong-but-finite loads
     net = load_checkpoint(save_dir, "model_cartpole", template)
-    assert _tree_equal(net, t.net) or all(
+    assert all(
         np.all(np.isfinite(np.asarray(x)))
         for x in jax.tree_util.tree_leaves(net)
     )
+    final = load_checkpoint(save_dir, "model_cartpole_final", template)
+    assert _tree_equal(final, t.net)
+
+
+def test_mixed_backend_loads_newer(tmp_path):
+    """A run dir holding BOTH backends (re-trained with a different
+    --ckpt_backend) must load the newer checkpoint, not silently prefer
+    the stale npz."""
+    import time
+
+    d = str(tmp_path)
+    template = {"w": jnp.ones(3)}
+    save_checkpoint(d, "m", template, backend="npz")
+    time.sleep(0.05)
+    save_checkpoint(d, "m", {"w": jnp.full(3, 2.0)}, backend="orbax")
+    out = load_checkpoint(d, "m", template)
+    assert float(np.asarray(out["w"])[0]) == 2.0
+    time.sleep(0.05)
+    save_checkpoint(d, "m", {"w": jnp.full(3, 3.0)}, backend="npz")
+    out = load_checkpoint(d, "m", template)
+    assert float(np.asarray(out["w"])[0]) == 3.0
