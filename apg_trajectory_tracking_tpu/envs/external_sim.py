@@ -17,9 +17,16 @@ The conversion math is the reference's:
   * actions [0,1] -> (total thrust = a0*15 - 7.5 + 9.81, rates = a[1:] - .5)
     (``action_to_fm``, flightmare.py:72-79).
 
-``MockFlightgymBackend`` stands in for the C++ sim (it integrates the same
-quad dynamics), so the adapter is fully testable in this repo; pointing it
-at a real ``flightgym`` binding requires no code changes.
+Two backends ship in-repo:
+  * ``NativeQuadSimBackend`` — a REAL external C++ simulator
+    (native/quad_sim.cc, the Flightmare quad model in dependency-free
+    C++), the role flightgym's C++ sim plays for the reference: every
+    dynamics step crosses the host/native boundary, so closed-loop runs
+    through it are genuine sim-to-sim validation;
+  * ``MockFlightgymBackend`` — a pure-Python stand-in integrating the JAX
+    dynamics behind the same conventions (no toolchain needed).
+Pointing the adapter at a real ``flightgym`` binding requires no code
+changes.
 """
 
 import numpy as np
@@ -147,3 +154,77 @@ class MockFlightgymBackend:
         )
         self._state = np.asarray(nxt)[0]
         return self._obs(), 0.0, False, {}
+
+
+class NativeQuadSimBackend:
+    """The in-repo EXTERNAL simulator: the Flightmare quad model compiled
+    to a C++ shared library (native/quad_sim.cc), driven through ctypes
+    behind the flightgym vec-env surface. Unlike the mock, every dynamics
+    step executes outside Python/JAX entirely — the same process boundary
+    the reference crosses into flightgym's C++ sim (flightmare.py:8-117).
+
+    ``params16``: optional [mass, inertia(3), kinv(3), gravity(3),
+    translational_drag(3), rotational_drag(3)] override (e.g. a mismatched
+    sim for sim-to-sim robustness runs).
+    """
+
+    def __init__(self, dt=0.1, init_state=None, params16=None):
+        import ctypes
+
+        from apg_trajectory_tracking_tpu.utils.native_runtime import (
+            build_native,
+        )
+
+        self._lib = ctypes.CDLL(build_native(lib_name="libquadsim.so"))
+        self._lib.qsim_create.restype = ctypes.c_void_p
+        self._lib.qsim_create.argtypes = [
+            ctypes.c_float, ctypes.POINTER(ctypes.c_float)
+        ]
+        self._lib.qsim_free.argtypes = [ctypes.c_void_p]
+        for fn in ("qsim_reset", "qsim_get_obs"):
+            getattr(self._lib, fn).argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)
+            ]
+        self._lib.qsim_step.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        p_arg = None
+        if params16 is not None:
+            p16 = np.asarray(params16, dtype=np.float32)
+            assert p16.shape == (16,), "params16 must be 16 floats"
+            p_arg = p16.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        self._sim = self._lib.qsim_create(ctypes.c_float(dt), p_arg)
+        if not self._sim:
+            raise RuntimeError("qsim_create failed")
+        self._ctypes = ctypes
+        self._init_state = (
+            np.zeros(12, dtype=np.float32)
+            if init_state is None
+            else np.asarray(init_state, dtype=np.float32)
+        )
+        self.reset()
+
+    def __del__(self):
+        if getattr(self, "_sim", None):
+            self._lib.qsim_free(self._sim)
+            self._sim = None
+
+    def _fptr(self, arr):
+        return arr.ctypes.data_as(self._ctypes.POINTER(self._ctypes.c_float))
+
+    def reset(self):
+        st = np.ascontiguousarray(self._init_state, dtype=np.float32)
+        self._lib.qsim_reset(self._sim, self._fptr(st))
+        obs = np.zeros((1, 12), dtype=np.float32)
+        self._lib.qsim_get_obs(self._sim, self._fptr(obs[0]))
+        return obs
+
+    def step(self, physical_actions):
+        act = np.ascontiguousarray(
+            np.asarray(physical_actions, dtype=np.float32)[0]
+        )
+        obs = np.zeros((1, 12), dtype=np.float32)
+        self._lib.qsim_step(self._sim, self._fptr(act), self._fptr(obs[0]))
+        return obs, 0.0, False, {}

@@ -18,15 +18,20 @@ _REPO = os.path.dirname(
 NATIVE_DIR = os.path.join(_REPO, "native")
 
 
-def build_native(force=False):
+def build_native(force=False, lib_name="libapgctrl.so"):
     """Compile the native runtime; returns the shared-library path.
+
+    ``lib_name`` selects which built artifact to return (the Makefile's
+    ``all`` builds every one): ``libapgctrl.so`` (controller runtime) or
+    ``libquadsim.so`` (the external C++ quad simulator).
 
     Raises RuntimeError (with the compiler output) on failure so callers
     (tests) can skip cleanly when no toolchain is available.
     """
-    lib = os.path.join(NATIVE_DIR, "build", "libapgctrl.so")
+    lib = os.path.join(NATIVE_DIR, "build", lib_name)
     srcs = [os.path.join(NATIVE_DIR, f)
             for f in ("apg_controller.cc", "apg_controller.h",
+                      "quad_sim.cc", "quad_sim.h",
                       "latency_main.cc", "Makefile")]
     if (not force and os.path.exists(lib)
             and os.path.getmtime(lib) >= max(os.path.getmtime(s)
