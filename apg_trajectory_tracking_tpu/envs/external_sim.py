@@ -228,3 +228,73 @@ class NativeQuadSimBackend:
         obs = np.zeros((1, 12), dtype=np.float32)
         self._lib.qsim_step(self._sim, self._fptr(act), self._fptr(obs[0]))
         return obs, 0.0, False, {}
+
+
+def evaluate_external(predict_fn, backend_factory, references, ref_len,
+                      thresh_div=1.0, thresh_stable=1.0, max_steps=251,
+                      dt=0.1, horizon=10, window_len=None, reset_fn=None):
+    """Closed-loop tracking eval through an external simulator backend.
+
+    The host-loop counterpart of ``evaluation.quad_eval.run_eval`` with
+    test-time break semantics: same reference windows
+    (``array_ref_window``), same divergence definition (distance to the
+    next reference row), same metric formulas (``metrics_from_rollout``) —
+    only the dynamics run in the external backend instead of the jitted
+    scan. This is the sim-to-sim evaluation the reference performs against
+    Flightmare (evaluate_drone.py:409-418, flightmare.py:14-117).
+
+    Args:
+        predict_fn: (state (12,), window (window_len, 9)) -> action (4,)
+            in [0, 1] — one controller decision.
+        backend_factory: kwargs (dt, init_state) -> flightgym-style
+            backend (e.g. ``NativeQuadSimBackend``).
+        references: (n, T, 9) prepared reference trajectories.
+        ref_len: usable reference length (as in run_eval).
+        reset_fn: optional callable invoked at each trajectory start
+            (e.g. to reset a recurrent controller's hidden state).
+    Returns:
+        the run_eval metrics dict.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import (
+        metrics_from_rollout,
+    )
+    from apg_trajectory_tracking_tpu.trajectory.refs import array_ref_window
+
+    refs = np.asarray(references, dtype=np.float32)
+    n = refs.shape[0]
+    if window_len is None:
+        window_len = horizon
+    windows_fn = jax.jit(jax.vmap(
+        lambda ref_i, i: array_ref_window(ref_i, i, window_len),
+        in_axes=(None, 0),
+    ))
+    divs = np.zeros((n, max_steps), dtype=np.float32)
+    valid = np.zeros((n, max_steps), dtype=bool)
+    for t in range(n):
+        ref = refs[t]
+        windows = np.asarray(
+            windows_fn(jnp.asarray(ref), jnp.arange(max_steps))
+        )
+        s0 = np.zeros(12, dtype=np.float32)
+        s0[:3] = ref[0, :3]
+        sim = ExternalSimAdapter(
+            backend_factory(dt=dt, init_state=s0), thresh_stable
+        )
+        state = sim.reset()
+        if reset_fn is not None:
+            reset_fn()
+        for i in range(max_steps):
+            if i > ref_len:
+                break
+            action = predict_fn(state, windows[i])
+            state, stable = sim.step(action)
+            j = min(i + 1, ref.shape[0] - 1)
+            div = float(np.linalg.norm(ref[j, :3] - state[:3]))
+            divs[t, i] = div
+            valid[t, i] = True
+            if div > thresh_div or not stable:
+                break
+    return metrics_from_rollout(divs, valid, thresh_div, max_steps, ref_len)

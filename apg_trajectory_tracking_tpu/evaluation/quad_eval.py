@@ -250,9 +250,18 @@ def run_eval(
     )
     if roll["divergences"].shape[0] != n_req:
         roll = {k: v[:n_req] for k, v in roll.items()}
-    divs = np.asarray(roll["divergences"])
-    valid = np.asarray(roll["valid"])
+    metrics = metrics_from_rollout(
+        np.asarray(roll["divergences"]), np.asarray(roll["valid"]),
+        thresh_div, max_steps, ref_len,
+    )
+    return metrics, roll
 
+
+def metrics_from_rollout(divs, valid, thresh_div, max_steps, ref_len):
+    """The reference's 6-tuple of eval metrics (evaluate_drone.py:237-300)
+    from per-step divergence/valid masks — shared by the jitted evaluator
+    above and the external-simulator host loop
+    (envs/external_sim.evaluate_external)."""
     n_steps = valid.sum(axis=1)
     div_mean_per = np.where(
         n_steps > 0, (divs * valid).sum(axis=1) / np.maximum(n_steps, 1), 0.0
@@ -263,7 +272,7 @@ def run_eval(
     ratio_stable = float(full.mean())
     div_full = div_mean_per[full] if full.any() else div_mean_per
 
-    metrics = {
+    return {
         "mean_success": float(stable_counts.mean()),
         "std_success": float(stable_counts.std()),
         "mean_divergence_full": float(div_full.mean()),
@@ -272,4 +281,3 @@ def run_eval(
         "std_divergence": float(div_mean_per.std()),
         "ratio_stable": ratio_stable,
     }
-    return metrics, roll

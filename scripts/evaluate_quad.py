@@ -109,6 +109,15 @@ def main():
     parser.add_argument("--animate", default=None, metavar="FILE.gif",
                         help="save a 3D flight animation of the first "
                              "rollouts (rand/poly/waypoint refs)")
+    parser.add_argument("--external_sim", default=None,
+                        choices=["native", "mock"],
+                        help="fly the closed loop through an EXTERNAL "
+                             "simulator instead of the jitted evaluator "
+                             "(the reference's Flightmare role, "
+                             "evaluate_drone.py:409-418): 'native' = the "
+                             "in-repo C++ sim (native/quad_sim.cc), "
+                             "'mock' = the pure-Python backend; rand/poly/"
+                             "waypoint refs only")
     parser.add_argument("--live", nargs="?", type=int, const=-1,
                         default=None, metavar="N",
                         help="replay the first rollout in the live 2D "
@@ -262,6 +271,96 @@ def main():
                 )
                 out[:, :, 2] += 3.0
                 return out
+
+        if args.external_sim is not None:
+            # sim-to-sim: the closed loop runs in the external simulator
+            # (reference: evaluate_drone.py:409-418 with FlightmareWrapper)
+            if args.sweep or args.animate or args.live is not None:
+                raise SystemExit(
+                    "--external_sim is a plain-eval path "
+                    "(no --sweep/--animate/--live)"
+                )
+            from apg_trajectory_tracking_tpu.data.dataset import (
+                quad_prepare_data,
+            )
+            from apg_trajectory_tracking_tpu.envs.external_sim import (
+                MockFlightgymBackend,
+                NativeQuadSimBackend,
+                evaluate_external,
+            )
+
+            backend = (
+                NativeQuadSimBackend
+                if args.external_sim == "native"
+                else MockFlightgymBackend
+            )
+            ek = eval_kwargs_for(cfg, 1)
+            win_rows = ek.get("window_len", horizon)
+            net_window = ek.get("net_window", horizon)
+            if cfg.get("train_mode") == "LSTM":
+                from apg_trajectory_tracking_tpu.models import (
+                    init_lstm_state,
+                    lstm_net_apply,
+                )
+
+                carry = {"c": init_lstm_state(1, hidden=cfg.get("hidden", 8))}
+
+                @jax.jit
+                def _fwd(c, state, window):
+                    in_s, _, in_r, _ = quad_prepare_data(
+                        state[None], window[None]
+                    )
+                    c, logits = lstm_net_apply(
+                        net, c, in_s, in_r[:, :net_window]
+                    )
+                    return c, jax.nn.sigmoid(logits)
+
+                def predict(state, window):
+                    carry["c"], a = _fwd(
+                        carry["c"], jnp.asarray(state), jnp.asarray(window)
+                    )
+                    return np.asarray(a)[0].reshape(-1, 4)[0]
+
+                def reset_fn():
+                    carry["c"] = init_lstm_state(
+                        1, hidden=cfg.get("hidden", 8)
+                    )
+            else:
+                from apg_trajectory_tracking_tpu.models import (
+                    control_net_apply,
+                )
+
+                @jax.jit
+                def _fwd(state, window):
+                    in_s, _, in_r, _ = quad_prepare_data(
+                        state[None], window[None]
+                    )
+                    logits = control_net_apply(
+                        net, in_s, in_r[:, :net_window]
+                    )
+                    return jax.nn.sigmoid(logits)
+
+                def predict(state, window):
+                    a = _fwd(jnp.asarray(state), jnp.asarray(window))
+                    return np.asarray(a)[0].reshape(-1, 4)[0]
+
+                reset_fn = None
+
+            references = make_refs()
+            metrics = evaluate_external(
+                predict, backend, references,
+                references.shape[1] - horizon, thresh_div=1.0,
+                thresh_stable=1.0, horizon=horizon, dt=dt,
+                window_len=win_rows, reset_fn=reset_fn,
+            )
+            print(f"[external sim: {args.external_sim}]")
+            print(
+                "Average tracking error: %.2f (%.2f)"
+                % (metrics["mean_divergence"], metrics["std_divergence"])
+            )
+            print("Ratio of stable runs: %.2f" % metrics["ratio_stable"])
+            print(json.dumps(metrics))
+            return
 
         def eval_with(modified_params):
             dyn = quad_params(modified_params)

@@ -238,3 +238,27 @@ def test_train_quad_override_flag(monkeypatch, capsys, tmp_path):
     # thresh_div snapshots the live curriculum value, seeded from the
     # overridden thresh_div_start (epoch-0 eval advances it by 0.05)
     assert cfg["thresh_div"] >= 1.5
+
+
+def test_evaluate_quad_external_sim(monkeypatch, capsys):
+    """--external_sim native flies the closed loop through the C++ sim and
+    reproduces the jitted evaluator's metrics on the same trajectories."""
+    try:
+        from apg_trajectory_tracking_tpu.utils.native_runtime import (
+            build_native,
+        )
+
+        build_native(lib_name="libquadsim.so")
+    except (RuntimeError, FileNotFoundError) as exc:
+        pytest.skip(f"native toolchain unavailable: {exc}")
+
+    argv = ["evaluate_quad.py", "-m", "assets/quad_trained", "-a", "3"]
+    out_jax = _run("evaluate_quad", argv, monkeypatch, capsys)
+    out_ext = _run(
+        "evaluate_quad", argv + ["--external_sim", "native"],
+        monkeypatch, capsys,
+    )
+    m_jax = json.loads(out_jax[out_jax.rindex("{"):])
+    m_ext = json.loads(out_ext[out_ext.rindex("{"):])
+    assert m_ext["ratio_stable"] == m_jax["ratio_stable"]
+    assert abs(m_ext["mean_divergence"] - m_jax["mean_divergence"]) < 1e-3
