@@ -430,3 +430,55 @@ def test_latency_binary(exported_quad):
     assert rec["median_ns"] > 0
     # generous sanity ceiling: one decision well under 1 ms on any CPU
     assert rec["median_ns"] < 1e6
+
+
+def test_native_closed_loop(exported_quad):
+    """The ENTIRE deployment stack outside Python: the exported controller
+    + the C++ simulator + a C++ min-jerk hover planner fly closed-loop
+    (native/closed_loop_main.cc) and land on the Python stack's numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    binary = os.path.join(REPO, "native", "build", "apg_closed_loop")
+    proc = subprocess.run(
+        [binary, exported_quad, "251"], capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = json.loads(proc.stdout)
+    assert out["final_dist"] < 0.15
+    assert out["us_per_step"] < 10000  # generous CI bound; ~30us locally
+
+    # Python twin of the same scenario: hover from the same offset start
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import (
+        follow_analytic,
+    )
+    from apg_trajectory_tracking_tpu.models import init_control_net
+    from apg_trajectory_tracking_tpu.trajectory.refs import hover_ref_window
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        load_checkpoint,
+        load_config,
+    )
+
+    cfg = load_config(QUAD_MODEL)
+    template = init_control_net(
+        jax.random.PRNGKey(0), 15, cfg["horizon"], cfg["ref_dim"],
+        cfg["action_dim"] * cfg["horizon"], conv=True,
+    )
+    net = load_checkpoint(QUAD_MODEL, "model_quad", template)
+    target = jnp.asarray([0.0, 0.0, 3.0])
+    init = jnp.asarray([[0.3, -0.2, 2.5, 0, 0, 0, 0, 0, 0, 0, 0, 0]],
+                       dtype=jnp.float32)
+    roll = follow_analytic(
+        net, quad_params(),
+        lambda s: hover_ref_window(target, s, 0.1, 10),
+        lambda p: target, init,
+        thresh_div=1.0, thresh_stable=1.0, horizon=10, max_steps=251,
+        dt=0.1,
+    )
+    divs = np.asarray(roll["divergences"])[0]
+    valid = np.asarray(roll["valid"])[0]
+    py_mean = float((divs * valid).sum() / valid.sum())
+    assert abs(out["mean_divergence"] - py_mean) < 0.02, (
+        out["mean_divergence"], py_mean,
+    )
