@@ -175,7 +175,7 @@ class NativeQuadSimBackend:
             build_native,
         )
 
-        self._lib = ctypes.CDLL(build_native(lib_name="libquadsim.so"))
+        self._lib = ctypes.CDLL(build_native(lib_name="libapgsim.so"))
         self._lib.qsim_create.restype = ctypes.c_void_p
         self._lib.qsim_create.argtypes = [
             ctypes.c_float, ctypes.POINTER(ctypes.c_float)

@@ -23,7 +23,7 @@ def build_native(force=False, lib_name="libapgctrl.so"):
 
     ``lib_name`` selects which built artifact to return (the Makefile's
     ``all`` builds every one): ``libapgctrl.so`` (controller runtime) or
-    ``libquadsim.so`` (the external C++ quad simulator).
+    ``libapgsim.so`` (the external C++ simulators: quad + cartpole).
 
     Raises RuntimeError (with the compiler output) on failure so callers
     (tests) can skip cleanly when no toolchain is available.
@@ -32,6 +32,7 @@ def build_native(force=False, lib_name="libapgctrl.so"):
     srcs = [os.path.join(NATIVE_DIR, f)
             for f in ("apg_controller.cc", "apg_controller.h",
                       "quad_sim.cc", "quad_sim.h",
+                      "cartpole_sim.cc", "cartpole_sim.h",
                       "latency_main.cc", "Makefile")]
     if (not force and os.path.exists(lib)
             and os.path.getmtime(lib) >= max(os.path.getmtime(s)

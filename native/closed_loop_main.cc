@@ -21,12 +21,46 @@
 #include <cstring>
 
 #include "apg_controller.h"
+#include "cartpole_sim.h"
 #include "quad_sim.h"
 
 namespace {
 
 constexpr int kHorizon = 10;
 constexpr float kDt = 0.1f;
+
+/* Cart-pole balance loop (kind 1 models): start with a perturbed pole,
+ * run the exported controller in the C++ cart-pole sim for `steps` Euler
+ * steps at dt=0.05 (the cartpole config's delta_t). Success = the pole
+ * angle stays within 0.5 rad throughout. */
+int run_cartpole(apgc_model *ctrl, int steps) {
+  csim *sim = csim_create(0.05f, nullptr);
+  float state[4] = {0.0f, 0.0f, 0.18f, -0.2f};
+  csim_reset(sim, state);
+  float actions[256];
+  int balanced = 0;
+  double vel_sum = 0.0;
+  const auto t0 = std::chrono::steady_clock::now();
+  for (int i = 0; i < steps; ++i) {
+    if (apgc_cartpole_predict(ctrl, state, actions) != 0) {
+      std::fprintf(stderr, "cartpole predict failed\n");
+      return 2;
+    }
+    csim_step(sim, actions[0], state);
+    if (std::fabs(state[2]) < 0.5f) ++balanced;
+    vel_sum += std::fabs(state[1]);
+  }
+  const auto t1 = std::chrono::steady_clock::now();
+  const double us_per_step =
+      std::chrono::duration<double, std::micro>(t1 - t0).count() / steps;
+  std::printf(
+      "{\"steps\": %d, \"balanced\": %d, \"mean_abs_vel\": %.4f, "
+      "\"us_per_step\": %.2f}\n",
+      steps, balanced, vel_sum / steps, us_per_step);
+  csim_free(sim);
+  apgc_free(ctrl);
+  return balanced == steps ? 0 : 1;
+}
 
 /* Min-jerk [pos, att=0, vel] window rows toward a hover target
  * (minjerk.py:16-56 + refs.py::_to_state_rows), float32 math. */
@@ -73,6 +107,7 @@ int main(int argc, char **argv) {
   int32_t dims[8];
   apgc_info(ctrl, dims);
   const int out_dim = dims[3];
+  if (dims[7] == 1) return run_cartpole(ctrl, steps);
 
   qsim *sim = qsim_create(kDt, nullptr);
   float state[12] = {0};

@@ -248,7 +248,7 @@ def test_evaluate_quad_external_sim(monkeypatch, capsys):
             build_native,
         )
 
-        build_native(lib_name="libquadsim.so")
+        build_native(lib_name="libapgsim.so")
     except (RuntimeError, FileNotFoundError) as exc:
         pytest.skip(f"native toolchain unavailable: {exc}")
 

@@ -482,3 +482,72 @@ def test_native_closed_loop(exported_quad):
     assert abs(out["mean_divergence"] - py_mean) < 0.02, (
         out["mean_divergence"], py_mean,
     )
+
+
+def test_native_cartpole_sim_parity(native_lib):
+    """The C++ cart-pole simulator (native/cartpole_sim.cc) matches the
+    JAX step (incl. the exact theta rotation update and env wrap) to
+    float32 noise over a 100-step random-action rollout."""
+    import ctypes
+
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.dynamics.cartpole import (
+        cartpole_params,
+        cartpole_step,
+        wrap_theta,
+    )
+    from apg_trajectory_tracking_tpu.utils.native_runtime import build_native
+
+    lib = ctypes.CDLL(build_native(lib_name="libapgsim.so"))
+    lib.csim_create.restype = ctypes.c_void_p
+    lib.csim_create.argtypes = [ctypes.c_float,
+                                ctypes.POINTER(ctypes.c_float)]
+    lib.csim_free.argtypes = [ctypes.c_void_p]
+    lib.csim_reset.argtypes = [ctypes.c_void_p,
+                               ctypes.POINTER(ctypes.c_float)]
+    lib.csim_step.argtypes = [ctypes.c_void_p, ctypes.c_float,
+                              ctypes.POINTER(ctypes.c_float)]
+
+    rng = np.random.RandomState(3)
+    s0 = (rng.randn(4) * 0.3).astype(np.float32)
+    sim = lib.csim_create(ctypes.c_float(0.05), None)
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    st = np.ascontiguousarray(s0)
+    lib.csim_reset(sim, fp(st))
+
+    dyn = cartpole_params()
+    direct = s0.copy()
+    out = np.zeros(4, dtype=np.float32)
+    for _ in range(100):
+        a = np.float32(rng.uniform(-1, 1))
+        lib.csim_step(sim, ctypes.c_float(a), fp(out))
+        direct = np.asarray(wrap_theta(cartpole_step(
+            dyn, jnp.asarray(direct[None]),
+            jnp.asarray([[a]], dtype=jnp.float32), 0.05,
+        )))[0]
+        np.testing.assert_allclose(out, direct, atol=2e-4)
+    lib.csim_free(sim)
+
+
+def test_native_cartpole_closed_loop(native_lib, tmp_path):
+    """The fully-native cart-pole balance loop (exported controller +
+    C++ sim) keeps the pole up for all 250 steps."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from export_controller import export_control_net
+
+    model_dir = os.path.join(REPO, "assets", "cartpole_balance_trained")
+    apgc = str(tmp_path / "cartpole.apgc")
+    header = export_control_net(model_dir, apgc)
+    assert header["kind"] == "cartpole_net"
+
+    binary = os.path.join(REPO, "native", "build", "apg_closed_loop")
+    proc = subprocess.run(
+        [binary, apgc, "250"], capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = json.loads(proc.stdout)
+    assert out["balanced"] == 250
+    assert out["mean_abs_vel"] < 1.0  # balance-selected model
