@@ -33,6 +33,7 @@ def build_native(force=False, lib_name="libapgctrl.so"):
             for f in ("apg_controller.cc", "apg_controller.h",
                       "quad_sim.cc", "quad_sim.h",
                       "cartpole_sim.cc", "cartpole_sim.h",
+                      "wing_sim.cc", "wing_sim.h",
                       "latency_main.cc", "Makefile")]
     if (not force and os.path.exists(lib)
             and os.path.getmtime(lib) >= max(os.path.getmtime(s)

@@ -347,6 +347,14 @@ int apgc_info(const apgc_model *m, int32_t *dims) {
   return 0;
 }
 
+int apgc_system(const apgc_model *m) {
+  if (!m) return -1;
+  if (m->system == "quad") return 0;
+  if (m->system == "wing") return 1;
+  if (m->system == "cartpole") return 2;
+  return -1;
+}
+
 namespace {
 
 /* simple_model.Net (models/simple.py): 4 -> 32 -> 64 -> 64 -> 32 -> out,

@@ -34,6 +34,10 @@ void apgc_free(apgc_model *m);
  * 2 = LSTM)}. The buffer MUST hold 8 int32. Returns 0 on success. */
 int apgc_info(const apgc_model *m, int32_t *dims);
 
+/* System tag of the exported checkpoint: 0 = quad, 1 = wing,
+ * 2 = cartpole, -1 = unknown. */
+int apgc_system(const apgc_model *m);
+
 /* Net-only forward on pre-featurized inputs:
  *   in_state: (state_dim,)    in_ref: (window, ref_dim) row-major
  *   out: (out_dim,) sigmoid-activated actions.

@@ -23,6 +23,7 @@
 #include "apg_controller.h"
 #include "cartpole_sim.h"
 #include "quad_sim.h"
+#include "wing_sim.h"
 
 namespace {
 
@@ -90,6 +91,52 @@ void hover_window(const float *state, const float *target, float *rows /* kHoriz
   }
 }
 
+/* Fixed-wing fly-to-point loop (system tag 1): zero_reset level flight at
+ * u = 11.5 m/s (wing_env.py:26-28), target at x = 50 m with a lateral
+ * offset; fly until the x-plane crossing (evaluate_fixed_wing.py:91-109)
+ * and report the interpolated miss distance in the target plane. */
+int run_wing(apgc_model *ctrl, int max_steps) {
+  const float kWingDt = 0.05f;
+  wsim *sim = wsim_create(kWingDt);
+  float state[12] = {0};
+  state[3] = 11.5f;
+  wsim_reset(sim, state);
+  const float target[3] = {50.0f, 1.0f, -1.0f};
+  float actions[256];
+  float prev[12] = {0};
+  int steps = 0;
+  const auto t0 = std::chrono::steady_clock::now();
+  for (; steps < max_steps; ++steps) {
+    std::memcpy(prev, state, sizeof(prev));
+    if (apgc_wing_predict(ctrl, state, target, actions) != 0) {
+      std::fprintf(stderr, "wing predict failed\n");
+      return 2;
+    }
+    wsim_step(sim, actions, state);
+    if (state[0] >= target[0]) break;
+  }
+  const auto t1 = std::chrono::steady_clock::now();
+  const double us_per_step =
+      std::chrono::duration<double, std::micro>(t1 - t0).count() /
+      (steps + 1);
+  if (state[0] < target[0]) {
+    std::printf("{\"error\": \"never reached the target plane\"}\n");
+    return 1;
+  }
+  /* interpolate the crossing point in the x = target[0] plane */
+  const float a = (target[0] - prev[0]) / (state[0] - prev[0]);
+  const float y = prev[1] + a * (state[1] - prev[1]);
+  const float z = prev[2] + a * (state[2] - prev[2]);
+  const float dy = y - target[1], dz = z - target[2];
+  const float miss = std::sqrt(dy * dy + dz * dz);
+  std::printf(
+      "{\"steps\": %d, \"target_error\": %.4f, \"us_per_step\": %.2f}\n",
+      steps + 1, miss, us_per_step);
+  wsim_free(sim);
+  apgc_free(ctrl);
+  return miss < 1.0f ? 0 : 1;
+}
+
 }  // namespace
 
 int main(int argc, char **argv) {
@@ -108,6 +155,7 @@ int main(int argc, char **argv) {
   apgc_info(ctrl, dims);
   const int out_dim = dims[3];
   if (dims[7] == 1) return run_cartpole(ctrl, steps);
+  if (apgc_system(ctrl) == 1) return run_wing(ctrl, steps);
 
   qsim *sim = qsim_create(kDt, nullptr);
   float state[12] = {0};

@@ -551,3 +551,77 @@ def test_native_cartpole_closed_loop(native_lib, tmp_path):
     out = json.loads(proc.stdout)
     assert out["balanced"] == 250
     assert out["mean_abs_vel"] < 1.0  # balance-selected model
+
+
+def test_native_wing_sim_parity(native_lib):
+    """The C++ fixed-wing simulator (native/wing_sim.cc) matches the JAX
+    6-DoF step to float32 noise over a 40-step rollout from level flight
+    under slowly-varying actions."""
+    import ctypes
+
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import (
+        wing_params,
+        wing_step,
+    )
+    from apg_trajectory_tracking_tpu.utils.native_runtime import build_native
+
+    lib = ctypes.CDLL(build_native(lib_name="libapgsim.so"))
+    lib.wsim_create.restype = ctypes.c_void_p
+    lib.wsim_create.argtypes = [ctypes.c_float]
+    lib.wsim_free.argtypes = [ctypes.c_void_p]
+    for fn in ("wsim_reset", "wsim_get_state"):
+        getattr(lib, fn).argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_float)]
+    lib.wsim_step.argtypes = [ctypes.c_void_p,
+                              ctypes.POINTER(ctypes.c_float),
+                              ctypes.POINTER(ctypes.c_float)]
+
+    rng = np.random.RandomState(7)
+    s0 = np.zeros(12, dtype=np.float32)
+    s0[3] = 11.5  # level flight, u = 11.5 m/s (wing_env.py:26-28)
+    sim = lib.wsim_create(ctypes.c_float(0.05))
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    st = np.ascontiguousarray(s0)
+    lib.wsim_reset(sim, fp(st))
+
+    dyn = wing_params()
+    direct = s0.copy()
+    out = np.zeros(12, dtype=np.float32)
+    # actions near trim (the wing sampler's convention, wing_env.py:72-95)
+    base = np.array([0.25, 0.5, 0.5, 0.5], dtype=np.float32)
+    for i in range(40):
+        a = np.clip(
+            base + rng.randn(4).astype(np.float32) * 0.05, 0, 1
+        ).astype(np.float32)
+        lib.wsim_step(sim, fp(np.ascontiguousarray(a)), fp(out))
+        direct = np.asarray(wing_step(
+            dyn, jnp.asarray(direct[None]), jnp.asarray(a[None]), 0.05,
+        ))[0]
+        np.testing.assert_allclose(out, direct, atol=5e-4)
+    lib.wsim_free(sim)
+
+
+def test_native_wing_closed_loop(native_lib, tmp_path):
+    """The fully-native wing fly-to-point loop (exported controller + C++
+    6-DoF sim) intercepts the target at the Python stack's accuracy."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from export_controller import export_control_net
+
+    model_dir = os.path.join(REPO, "assets", "wing_trained")
+    apgc = str(tmp_path / "wing.apgc")
+    header = export_control_net(model_dir, apgc)
+    assert header["system"] == "wing"
+
+    binary = os.path.join(REPO, "native", "build", "apg_closed_loop")
+    proc = subprocess.run(
+        [binary, apgc], capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = json.loads(proc.stdout)
+    # Python wing_trained posts 0.012 m on this protocol; allow margin for
+    # the different lateral target draw
+    assert out["target_error"] < 0.5
