@@ -254,6 +254,14 @@ def evaluate_external(predict_fn, backend_factory, references, ref_len,
             (e.g. to reset a recurrent controller's hidden state).
     Returns:
         the run_eval metrics dict.
+
+    Caveat (inherited reference convention): the stability predicate runs
+    on the adapter's ``transform_borders``-folded attitude, so raw
+    |roll/pitch| beyond ~2.14 rad folds back under a 1.0 threshold where
+    the jitted evaluator's ``quad_is_stable`` sees the raw angle — the
+    same behavior the reference exhibits against flightgym
+    (flightmare.py:51-55). In practice the divergence break fires long
+    before such attitudes; the CLI smoke test pins the agreement.
     """
     import jax
     import jax.numpy as jnp

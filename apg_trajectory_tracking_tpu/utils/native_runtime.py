@@ -23,7 +23,7 @@ def build_native(force=False, lib_name="libapgctrl.so"):
 
     ``lib_name`` selects which built artifact to return (the Makefile's
     ``all`` builds every one): ``libapgctrl.so`` (controller runtime) or
-    ``libapgsim.so`` (the external C++ simulators: quad + cartpole).
+    ``libapgsim.so`` (the external C++ simulators: quad, cartpole, wing).
 
     Raises RuntimeError (with the compiler output) on failure so callers
     (tests) can skip cleanly when no toolchain is available.
@@ -34,6 +34,7 @@ def build_native(force=False, lib_name="libapgctrl.so"):
                       "quad_sim.cc", "quad_sim.h",
                       "cartpole_sim.cc", "cartpole_sim.h",
                       "wing_sim.cc", "wing_sim.h",
+                      "closed_loop_main.cc",
                       "latency_main.cc", "Makefile")]
     if (not force and os.path.exists(lib)
             and os.path.getmtime(lib) >= max(os.path.getmtime(s)

@@ -19,6 +19,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
 
 #include "apg_controller.h"
 #include "cartpole_sim.h"
@@ -64,9 +65,12 @@ int run_cartpole(apgc_model *ctrl, int steps) {
 }
 
 /* Min-jerk [pos, att=0, vel] window rows toward a hover target
- * (minjerk.py:16-56 + refs.py::_to_state_rows), float32 math. */
-void hover_window(const float *state, const float *target, float *rows /* kHorizon x 9 */) {
-  const float Tf = kDt * kHorizon;
+ * (minjerk.py:16-56 + refs.py::_to_state_rows), float32 math. ``n`` is
+ * the number of planned rows — the model's observation window (wide-
+ * window distilled students consume more than the 10-action horizon). */
+void hover_window(const float *state, const float *target, int n,
+                  float *rows /* n x 9 */) {
+  const float Tf = kDt * n;
   const float T2 = Tf * Tf, T3 = T2 * Tf, T4 = T3 * Tf, T5 = T4 * Tf;
   float alpha[3], beta[3], gamma[3];
   for (int k = 0; k < 3; ++k) {
@@ -76,7 +80,7 @@ void hover_window(const float *state, const float *target, float *rows /* kHoriz
     beta[k] = (168.0f * T2 * dv - 360.0f * Tf * dp) / T5;
     gamma[k] = (-24.0f * T3 * dv + 60.0f * T2 * dp) / T5;
   }
-  for (int i = 0; i < kHorizon; ++i) {
+  for (int i = 0; i < n; ++i) {
     const float t = (i + 1) * kDt;
     const float t2 = t * t, t3 = t2 * t, t4 = t3 * t, t5 = t4 * t;
     for (int k = 0; k < 3; ++k) {
@@ -153,9 +157,11 @@ int main(int argc, char **argv) {
   }
   int32_t dims[8];
   apgc_info(ctrl, dims);
-  const int out_dim = dims[3];
   if (dims[7] == 1) return run_cartpole(ctrl, steps);
   if (apgc_system(ctrl) == 1) return run_wing(ctrl, steps);
+  const int window = dims[1];  /* observation rows the model consumes */
+  const int hidden = dims[6];
+  const bool lstm = dims[7] == 2;
 
   qsim *sim = qsim_create(kDt, nullptr);
   float state[12] = {0};
@@ -165,19 +171,23 @@ int main(int argc, char **argv) {
   qsim_reset(sim, state);
 
   const float target[3] = {0.0f, 0.0f, 3.0f};
-  float rows[kHorizon * 9];
+  std::vector<float> rows(static_cast<size_t>(window) * 9);
+  std::vector<float> h(hidden, 0.0f), c(hidden, 0.0f);
   float actions[256];
   float obs[12];
   double div_sum = 0.0;
 
   const auto t0 = std::chrono::steady_clock::now();
   for (int i = 0; i < steps; ++i) {
-    hover_window(state, target, rows);
-    if (apgc_quad_predict(ctrl, state, rows, actions) != 0) {
+    hover_window(state, target, window, rows.data());
+    const int rc =
+        lstm ? apgc_lstm_predict(ctrl, state, rows.data(), h.data(),
+                                 c.data(), actions)
+             : apgc_quad_predict(ctrl, state, rows.data(), actions);
+    if (rc != 0) {
       std::fprintf(stderr, "not a quad model\n");
       return 2;
     }
-    (void)out_dim;
     /* execute the first planned action: [0,1] -> physical command */
     float act[4];
     act[0] = actions[0] * 15.0f - 7.5f + 9.81f;

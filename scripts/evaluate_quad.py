@@ -133,6 +133,16 @@ def main():
 
         force_cpu_backend()
 
+    if args.external_sim is not None and (
+        args.model == "mpc"
+        or (args.points is None and args.ref not in ("rand", "poly"))
+    ):
+        raise SystemExit(
+            "--external_sim supports neural controllers on rand/poly/"
+            "waypoint references (the reference's Flightmare-eval "
+            "protocol); analytic refs and -m mpc run on the jitted path"
+        )
+
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -294,9 +304,8 @@ def main():
                 if args.external_sim == "native"
                 else MockFlightgymBackend
             )
-            ek = eval_kwargs_for(cfg, 1)
-            win_rows = ek.get("window_len", horizon)
-            net_window = ek.get("net_window", horizon)
+            win_rows = cfg.get("ref_length", horizon)
+            net_window = cfg.get("net_window", horizon)
             if cfg.get("train_mode") == "LSTM":
                 from apg_trajectory_tracking_tpu.models import (
                     init_lstm_state,
