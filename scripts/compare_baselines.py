@@ -286,8 +286,10 @@ def main():
     parser.add_argument("--apg", nargs="*",
                         default=["assets/quad_trained",
                                  "assets/quad_trained_9k",
+                                 "assets/quad_ar_trained_9k",
                                  "assets/quad_minjerk_trained",
                                  "assets/quad_mpc_distilled",
+                                 "assets/quad_mpc_distilled_h14",
                                  "assets/quad_mpc_distilled_stable",
                                  "assets/quad_mpc_distilled_lstm"],
                         help="neural checkpoints to include (the shipped "
