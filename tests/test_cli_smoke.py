@@ -24,7 +24,8 @@ def _run(module, argv, monkeypatch, capsys, cwd=REPO):
 
 @pytest.mark.parametrize(
     "asset", ["assets/quad_trained", "assets/quad_trained_9k",
-              "assets/quad_ar_trained_9k", "assets/quad_lstm_trained_9k"]
+              "assets/quad_ar_trained_9k", "assets/quad_lstm_trained_9k",
+              "assets/quad_mpc_distilled_h14"]
 )
 def test_evaluate_quad_rand(monkeypatch, capsys, asset):
     out = _run(
