@@ -225,6 +225,158 @@ def eval_cartpole_ppo_balance(params, dyn_params, starts, max_steps=250,
     }
 
 
+def ppo_wing_net_apply(params, carry, normed, rel_ref):
+    """Adapt a wing PPO actor to the wing evaluator's net interface: the RL
+    env's observation layout (rl_envs.make_wing_rl _obs: [rel_ref(3),
+    normed(9)])."""
+    obs = jnp.concatenate([rel_ref, normed], axis=1)
+    return carry, policy_mean(params, obs)
+
+
+def ppo_wing_action_transform(mean):
+    """Deterministic eval action for the wing policy. The wing RL env
+    consumes raw [0, 1] actions (make_wing_rl steps wing_step directly;
+    PPOConfig(act_low=0, act_high=1)), so eval clips the mean like
+    ppo.evaluate_policy — no tanh-space rescale."""
+    return jnp.clip(mean, 0.0, 1.0)
+
+
+def mpc_fly_to_point(
+    solve,
+    dyn_params,
+    targets,
+    thresh_div=10.0,
+    thresh_stable=3.0,
+    dyn_step=None,
+    horizon=10,
+    max_steps=1000,
+    dt=0.05,
+    segment_len=125,
+):
+    """Batched receding-horizon MPC waypoint flight with the wing
+    evaluator's test-time semantics (wing_eval.fly_to_point: x-crossing
+    pass, target-to-passed-segment metric, break on divergence) and
+    warm-start shifting. The per-step reference is MPC._ref_wing's linear
+    ramp toward the target at the current speed, built in-graph so the
+    whole episode batch runs in one scan (the reference's per-step IPOPT
+    loop, evaluate_fixed_wing.py:216-245).
+
+    Returns the same {div_target_sum/cnt, steps_alive} contract as
+    fly_to_point, so one metrics path serves every table row.
+    """
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import (
+        wing_is_stable,
+        wing_step,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.wing_eval import DES_SPEED
+    from apg_trajectory_tracking_tpu.trajectory.refs import project_to_line
+
+    if dyn_step is None:
+        dyn_step = wing_step
+    n = targets.shape[0]
+    state0 = jnp.zeros((n, 12), dtype=jnp.float32).at[:, 3].set(DES_SPEED)
+    line_start0 = state0[:, :3]
+    z0 = jnp.zeros((n, horizon, 4), jnp.float32)
+    v_solve = jax.vmap(solve, in_axes=(None, 0, 0, 0))
+    batched_proj = jax.vmap(project_to_line)
+
+    def ramp(state, target):
+        # MPC._ref_wing in-graph: horizon positions marching toward the
+        # target at the current speed; non-position ref rows stay zero
+        pos, vel = state[:3], state[3:6]
+        vec = target - pos
+        speed = jnp.linalg.norm(vel)
+        step_vec = vec * (
+            speed * dt / jnp.maximum(jnp.linalg.norm(vec), 1e-6)
+        )
+        steps = jnp.arange(1, horizon + 1, dtype=state.dtype)[:, None]
+        ref = jnp.zeros((horizon, 12), state.dtype)
+        return ref.at[:, :3].set(pos[None] + steps * step_vec)
+
+    def body(carry, _):
+        state, z, done, dsum, dcnt, npass, nalive = carry
+        refs = jax.vmap(ramp)(state, targets)
+        u_seq, z_new, _ = v_solve(dyn_params, state, refs, z)
+        z_shift = jnp.concatenate([z_new[:, 1:], z_new[:, -1:]], axis=1)
+        new_state = dyn_step(dyn_params, state, u_seq[:, 0], dt)
+
+        stable = wing_is_stable(new_state, thresh_stable)
+        pos = new_state[:, :3]
+        drone_on_line = batched_proj(line_start0, targets, pos)
+        div = jnp.linalg.norm(drone_on_line - pos, axis=1)
+        passed = pos[:, 0] > targets[:, 0]
+        prev_pos = state[:, :3]
+        target_on_traj = batched_proj(prev_pos, pos, targets)
+        pass_div = jnp.linalg.norm(target_on_traj - targets, axis=1)
+        diverged = jnp.logical_or(div > thresh_div, ~stable)
+
+        active = ~done
+        event_div = jnp.where(
+            passed, pass_div, jnp.linalg.norm(pos - targets, axis=1)
+        )
+        event = jnp.logical_and(active, jnp.logical_or(passed, diverged))
+        dsum = dsum + jnp.where(event, event_div, 0.0)
+        dcnt = dcnt + event.astype(jnp.int32)
+        new_done = jnp.logical_or(done, jnp.logical_or(passed, diverged))
+        npass = jnp.logical_or(npass, jnp.logical_and(active, passed))
+        next_state = jnp.where(done[:, None], state, new_state)
+        next_z = jnp.where(done[:, None, None], z, z_shift)
+        nalive = nalive + active.astype(jnp.int32)
+        return (
+            next_state, next_z, new_done, dsum, dcnt, npass, nalive
+        ), None
+
+    # the full 1000-step scan with the solver's inner optimization loop in
+    # its body is one enormous device program — large enough to take down
+    # the TPU worker. Chunk it into bounded segments driven from the host,
+    # which also gives early exit once every episode has ended (typical
+    # pass happens within ~100-300 steps).
+    @jax.jit
+    def run_segment(carry):
+        return jax.lax.scan(body, carry, None, length=segment_len)[0]
+
+    carry = (
+        state0, z0, jnp.zeros(n, dtype=bool), jnp.zeros(n),
+        jnp.zeros(n, dtype=jnp.int32), jnp.zeros(n, dtype=bool),
+        jnp.zeros(n, dtype=jnp.int32),
+    )
+    steps = 0
+    while steps < max_steps:
+        carry = run_segment(carry)
+        steps += segment_len
+        if bool(carry[2].all()):
+            break
+    _, _, done, dsum, dcnt, npass, nalive = carry
+    dsum = dsum + jnp.where(dcnt == 0, thresh_div, 0.0)
+    dcnt = jnp.maximum(dcnt, 1)
+    return {
+        "div_target_sum": dsum,
+        "div_target_cnt": dcnt,
+        "passed": npass,
+        "steps_alive": nalive,
+    }
+
+
+def wing_point_metrics(roll, targets_n=None):
+    """Aggregate wing waypoint metrics from a fly_to_point-contract rollout:
+    mean/std per-episode target error (evaluate_fixed_wing.py:159-178) plus
+    the pass rate (episodes that crossed the target's x before diverging —
+    a non-passing episode carries the thresh_div penalty in its error)."""
+    dsum = np.asarray(roll["div_target_sum"])
+    dcnt = np.asarray(roll["div_target_cnt"])
+    if targets_n is not None:
+        dsum, dcnt = dsum[:targets_n], dcnt[:targets_n]
+    per_ep = dsum / dcnt
+    steps = np.asarray(roll["steps_alive"])[: len(per_ep)]
+    passed = np.asarray(roll["passed"])[: len(per_ep)]
+    return {
+        "mean_target_error": float(per_ep.mean()),
+        "std_target_error": float(per_ep.std()),
+        "pass_rate": float(passed.mean()),
+        "mean_steps_alive": float(steps.mean()),
+    }
+
+
 def format_table(rows, columns, title=""):
     """Markdown table from {name: metrics-dict} rows."""
     lines = []

@@ -24,9 +24,17 @@ from apg_trajectory_tracking_tpu.trajectory.refs import project_to_line
 DES_SPEED = 11.5  # evaluate_fixed_wing.py:43
 
 
+def _feedforward_apply(net_params, carry, normed, rel_ref):
+    """Default controller hook: the APG wing net (state + ref features)."""
+    return carry, control_net_apply(net_params, normed, rel_ref)
+
+
 @partial(
     jax.jit,
-    static_argnames=("dyn_step", "horizon", "max_steps", "dt", "test_time"),
+    static_argnames=(
+        "dyn_step", "horizon", "max_steps", "dt", "test_time",
+        "net_apply", "action_transform",
+    ),
 )
 def fly_to_point(
     net_params,
@@ -41,6 +49,9 @@ def fly_to_point(
     max_steps=1000,
     dt=0.05,
     test_time=False,
+    net_apply=_feedforward_apply,
+    net_carry=None,
+    action_transform=jax.nn.sigmoid,
 ):
     """Fly a batch of episodes from zero-reset toward per-episode targets.
 
@@ -60,12 +71,14 @@ def fly_to_point(
     batched_proj = jax.vmap(project_to_line)
 
     def body(carry, i):
-        state, line_start, done, dsum, dcnt = carry
+        state, line_start, done, dsum, dcnt, npass, nc = carry
         normed, _, rel_ref, _ = wing_prepare_data(
             state, targets, mean, std, dt=dt, horizon=horizon
         )
-        logits = control_net_apply(net_params, normed, rel_ref)
-        actions = jax.nn.sigmoid(logits).reshape(n, horizon, 4)
+        nc, logits = net_apply(net_params, nc, normed, rel_ref)
+        # (n, horizon*4) APG nets and (n, 4) one-step policies (PPO) both
+        # reduce to the first action row
+        actions = action_transform(logits).reshape(n, -1, 4)
         new_state = dyn_step(dyn_params, state, actions[:, 0], dt)
 
         stable = wing_is_stable(new_state, thresh_stable)
@@ -93,6 +106,7 @@ def fly_to_point(
             new_done = jnp.logical_or(done, jnp.logical_or(passed, diverged))
             next_state = jnp.where(done[:, None], state, new_state)
             new_line_start = line_start
+            npass = jnp.logical_or(npass, jnp.logical_and(active, passed))
         else:
             # train time: divergence -> thresh_div penalty + reset onto the
             # line flying at cruise speed toward the target
@@ -115,9 +129,11 @@ def fly_to_point(
             next_state = jnp.where(done[:, None], state, next_state)
             new_done = jnp.logical_or(done, passed)
             new_line_start = line_start
+            npass = jnp.logical_or(npass, event_pass)
 
         out = (state, active)
-        return (next_state, new_line_start, new_done, dsum, dcnt), out
+        return (next_state, new_line_start, new_done, dsum, dcnt, npass,
+                nc), out
 
     init = (
         state0,
@@ -125,8 +141,10 @@ def fly_to_point(
         jnp.zeros(n, dtype=bool),
         jnp.zeros(n),
         jnp.zeros(n, dtype=jnp.int32),
+        jnp.zeros(n, dtype=bool),
+        net_carry,
     )
-    (final_state, _, done, dsum, dcnt), (states, valid) = jax.lax.scan(
+    (final_state, _, done, dsum, dcnt, npass, _), (states, valid) = jax.lax.scan(
         body, init, jnp.arange(max_steps)
     )
     # episodes that never ended get the max-steps penalty
@@ -136,6 +154,7 @@ def fly_to_point(
     return {
         "div_target_sum": dsum,
         "div_target_cnt": dcnt,
+        "passed": npass,
         "states": jnp.swapaxes(states, 0, 1),
         "valid": jnp.swapaxes(valid, 0, 1),
         "steps_alive": jnp.sum(jnp.swapaxes(valid, 0, 1), axis=1),
@@ -159,6 +178,9 @@ def run_eval(
     test_time=False,
     dyn_step=wing_step,
     mesh=None,
+    net_apply=_feedforward_apply,
+    net_carry=None,
+    action_transform=jax.nn.sigmoid,
 ):
     """Aggregate metrics (run_eval, evaluate_fixed_wing.py:132-178):
     mean/std over episodes of the mean target divergence.
@@ -180,7 +202,8 @@ def run_eval(
         net_params, dyn_params, targets, mean, std,
         thresh_div=thresh_div, thresh_stable=thresh_stable,
         dyn_step=dyn_step, horizon=horizon, max_steps=max_steps, dt=dt,
-        test_time=test_time,
+        test_time=test_time, net_apply=net_apply, net_carry=net_carry,
+        action_transform=action_transform,
     )
     if roll["div_target_sum"].shape[0] != nr_test:
         roll = {k: v[:nr_test] for k, v in roll.items()}

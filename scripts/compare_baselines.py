@@ -163,6 +163,122 @@ def eval_ppo(
     return metrics
 
 
+def wing_table(args):
+    """Fixed-wing waypoint head-to-head: APG vs MPC (h=10 / h=20) vs PPO on
+    identical targets through the SAME fly-to-point protocol (the third
+    system of the reference's baseline comparison; its wing PPO is
+    ``baselines/ppo_baseline.py:281-314``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.baselines import rl_envs
+    from apg_trajectory_tracking_tpu.baselines.ppo import (
+        PPOConfig,
+        init_actor_critic,
+        train_ppo,
+    )
+    from apg_trajectory_tracking_tpu.controllers.mpc import MPC
+    from apg_trajectory_tracking_tpu.data.dataset import WING_MEAN, WING_STD
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import wing_params
+    from apg_trajectory_tracking_tpu.evaluation.compare import (
+        mpc_fly_to_point,
+        ppo_wing_action_transform,
+        ppo_wing_net_apply,
+        wing_point_metrics,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.wing_eval import fly_to_point
+    from apg_trajectory_tracking_tpu.utils.checkpoints import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from evaluate_wing import load_wing_controller
+
+    n = args.wing_eval
+    # shared targets, the wing evaluator's distribution: x = 50 m,
+    # y/z ~ U(-5, 5) (wing_eval.run_eval / evaluate_fixed_wing.py:137)
+    yz = (jax.random.uniform(jax.random.PRNGKey(42), (n, 2)) - 0.5) * 10.0
+    targets = jnp.concatenate(
+        [jnp.full((n, 1), 50.0), yz], axis=1
+    ).astype(jnp.float32)
+    thresh_div, thresh_stable, max_steps, dt = 10.0, 3.0, 1000, 0.05
+    dyn = wing_params({})
+    rows = {}
+
+    net, cfg = load_wing_controller("assets/wing_trained")
+    roll = fly_to_point(
+        net, dyn, targets,
+        jnp.asarray(cfg.get("mean", WING_MEAN)),
+        jnp.asarray(cfg.get("std", WING_STD)),
+        thresh_div=thresh_div, thresh_stable=thresh_stable,
+        horizon=cfg["horizon"], max_steps=max_steps, dt=cfg["delta_t"],
+        test_time=True,
+    )
+    rows["APG wing_trained"] = wing_point_metrics(roll, n)
+    print("APG wing_trained", json.dumps(rows["APG wing_trained"]))
+
+    if not args.skip_mpc:
+        for label, h, iters in (
+            # the reference's own MPC horizon is 10; h=20 shows the
+            # solver's ceiling (horizon myopia, README wing table)
+            ("MPC (adam)", 10, None),
+            ("MPC (adam, h=20)", 20, 100),
+        ):
+            mpc = MPC(horizon=h, dt=dt, dynamics="fixed_wing_3D",
+                      n_iters=iters)
+            roll = mpc_fly_to_point(
+                mpc._solve, dyn, targets,
+                thresh_div=thresh_div, thresh_stable=thresh_stable,
+                horizon=h, max_steps=max_steps, dt=dt,
+            )
+            rows[label] = wing_point_metrics(roll, n)
+            print(label, json.dumps(rows[label]))
+
+    ppo_dir = "trained_models/wing/ppo_compare"
+    obs_dim, act_dim = 12, 4
+    ppo_params = None
+    if os.path.exists(os.path.join(ppo_dir, "model_ppo.npz")):
+        ppo_params = load_checkpoint(
+            ppo_dir, "model_ppo",
+            init_actor_critic(jax.random.PRNGKey(0), obs_dim, act_dim),
+        )
+        tag = "PPO"
+    elif args.train_ppo:
+        reset_fn, step_fn, od, ad = rl_envs.make_wing_rl(dyn)
+        ppo_params, _ = train_ppo(
+            reset_fn, step_fn, od, ad,
+            total_timesteps=args.wing_timesteps,
+            cfg=PPOConfig(n_envs=16, act_low=0.0, act_high=1.0),
+        )
+        save_checkpoint(ppo_dir, "model_ppo", ppo_params,
+                        {"robot": "wing",
+                         "timesteps": args.wing_timesteps})
+        tag = f"PPO ({args.wing_timesteps // 1000}k)"
+    if ppo_params is not None:
+        # the RL env's fixed normalization stats (make_wing_rl)
+        roll = fly_to_point(
+            ppo_params, dyn, targets,
+            jnp.asarray(WING_MEAN), jnp.asarray(WING_STD),
+            thresh_div=thresh_div, thresh_stable=thresh_stable,
+            horizon=10, max_steps=max_steps, dt=dt, test_time=True,
+            net_apply=ppo_wing_net_apply,
+            action_transform=ppo_wing_action_transform,
+        )
+        rows[tag] = wing_point_metrics(roll, n)
+        print(tag, json.dumps(rows[tag]))
+    else:
+        print("wing PPO: no checkpoint at", ppo_dir,
+              "(pass --train_ppo to train one)")
+    return rows, n
+
+
+WING_COLUMNS = (
+    "mean_target_error", "std_target_error", "pass_rate",
+    "mean_steps_alive",
+)
+
+
 def cartpole_table(args):
     """APG vs MPC vs PPO vs PETS on the balance protocol: identical
     near-upright start states, steps-upright (<=250) + mean |velocity|."""
@@ -309,6 +425,13 @@ def main():
                         help="also build the cartpole balance table "
                              "(APG vs MPC vs PPO vs PETS)")
     parser.add_argument("--cartpole_eval", type=int, default=10)
+    parser.add_argument("--wing", action="store_true",
+                        help="also build the fixed-wing waypoint table "
+                             "(APG vs MPC h=10/h=20 vs PPO)")
+    parser.add_argument("--wing_eval", type=int, default=40,
+                        help="number of shared waypoint targets")
+    parser.add_argument("--wing_timesteps", type=int, default=500_000,
+                        help="wing PPO training budget if no checkpoint")
     parser.add_argument("--pets_trials", type=int, default=200,
                         help="PETS training budget if no saved ensemble "
                              "(reference: 200)")
@@ -327,18 +450,29 @@ def main():
     from apg_trajectory_tracking_tpu.evaluation.compare import format_table
 
     if args.skip_quad:
-        rows_cp, n_cp = cartpole_table(args)
-        table = format_table(
-            rows_cp, CARTPOLE_COLUMNS,
-            title=f"Cartpole balance, {n_cp} shared near-upright starts "
-                  "(max 250 steps)",
-        )
+        # system tables only — whichever of --cartpole/--wing is set
+        # (--skip_quad alone means cartpole, the original behavior)
+        parts = []
+        if args.cartpole or not args.wing:
+            rows_cp, n_cp = cartpole_table(args)
+            parts.append(format_table(
+                rows_cp, CARTPOLE_COLUMNS,
+                title=f"Cartpole balance, {n_cp} shared near-upright "
+                      "starts (max 250 steps)",
+            ) + "\n\n```json\n" + json.dumps(rows_cp, indent=1) + "\n```")
+        if args.wing:
+            rows_w, n_w = wing_table(args)
+            parts.append(format_table(
+                rows_w, WING_COLUMNS,
+                title=f"Fixed-wing waypoint, {n_w} shared targets "
+                      "(x = 50 m, max 1000 steps)",
+            ) + "\n\n```json\n" + json.dumps(rows_w, indent=1) + "\n```")
+        body = "\n\n".join(parts)
         print()
-        print(table)
+        print(body)
         if args.out:
             with open(args.out, "w") as f:
-                f.write(table + "\n\n```json\n"
-                        + json.dumps(rows_cp, indent=1) + "\n```\n")
+                f.write(body + "\n")
         return
 
     dt, horizon, thresh_div = 0.1, 10, 1.0
@@ -403,6 +537,18 @@ def main():
         print(cp_table)
         extra = "\n\n" + cp_table + "\n\n```json\n" + json.dumps(
             rows_cp, indent=1
+        ) + "\n```"
+    if args.wing:
+        rows_w, n_w = wing_table(args)
+        w_table = format_table(
+            rows_w, WING_COLUMNS,
+            title=f"Fixed-wing waypoint, {n_w} shared targets "
+                  "(x = 50 m, max 1000 steps)",
+        )
+        print()
+        print(w_table)
+        extra += "\n\n" + w_table + "\n\n```json\n" + json.dumps(
+            rows_w, indent=1
         ) + "\n```"
 
     if args.out:

@@ -60,6 +60,93 @@ def test_mpc_rollout_matches_evaluator_contract():
     assert m["mean_divergence"] < 0.1
 
 
+def test_wing_mpc_rollout_reaches_targets():
+    """Batched wing MPC flies to shared waypoints through the evaluator's
+    pass/divergence semantics and reports the fly_to_point contract."""
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import wing_params
+    from apg_trajectory_tracking_tpu.evaluation.compare import (
+        mpc_fly_to_point,
+        wing_point_metrics,
+    )
+
+    targets = jnp.asarray(
+        [[50.0, 2.0, -1.0], [50.0, -3.0, 2.0]], dtype=jnp.float32
+    )
+    mpc = MPC(horizon=10, dt=0.05, dynamics="fixed_wing_3D")
+    roll = mpc_fly_to_point(
+        mpc._solve, wing_params({}), targets,
+        thresh_div=10.0, thresh_stable=3.0, horizon=10,
+        max_steps=300, dt=0.05, segment_len=100,
+    )
+    m = wing_point_metrics(roll, 2)
+    assert m["pass_rate"] == 1.0
+    assert m["mean_target_error"] < 1.0
+    assert 0 < m["mean_steps_alive"] < 300
+
+
+def test_wing_ppo_adapter_through_wing_evaluator():
+    """A wing PPO actor evaluates through the SAME fly_to_point as APG
+    nets: obs layout matches make_wing_rl, actions clipped to [0, 1]."""
+    from apg_trajectory_tracking_tpu.data.dataset import WING_MEAN, WING_STD
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import wing_params
+    from apg_trajectory_tracking_tpu.evaluation.compare import (
+        ppo_wing_action_transform,
+        ppo_wing_net_apply,
+        wing_point_metrics,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.wing_eval import fly_to_point
+
+    params = init_actor_critic(jax.random.PRNGKey(0), 12, 4)
+    targets = jnp.asarray(
+        [[50.0, 1.0, 0.0], [50.0, 0.0, -2.0]], dtype=jnp.float32
+    )
+    roll = fly_to_point(
+        params, wing_params({}), targets,
+        jnp.asarray(WING_MEAN), jnp.asarray(WING_STD),
+        thresh_div=10.0, thresh_stable=3.0, horizon=10, max_steps=50,
+        dt=0.05, test_time=True, net_apply=ppo_wing_net_apply,
+        action_transform=ppo_wing_action_transform,
+    )
+    m = wing_point_metrics(roll, 2)
+    assert set(m) == {"mean_target_error", "std_target_error",
+                      "pass_rate", "mean_steps_alive"}
+    assert np.isfinite(m["mean_target_error"])
+    # the wing env consumes raw [0, 1] actions — no tanh rescale
+    x = jnp.asarray([-2.0, 0.0, 0.25, 1.0, 3.0])
+    np.testing.assert_allclose(
+        np.asarray(ppo_wing_action_transform(x)), [0.0, 0.0, 0.25, 1.0, 1.0]
+    )
+
+
+def test_wing_eval_hooks_default_unchanged():
+    """The net_apply/action_transform hooks default to the original APG
+    path: run_eval with explicit defaults matches run_eval without."""
+    from apg_trajectory_tracking_tpu.data.dataset import WING_MEAN, WING_STD
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import wing_params
+    from apg_trajectory_tracking_tpu.evaluation import wing_eval
+    from apg_trajectory_tracking_tpu.models import init_control_net
+
+    net = init_control_net(jax.random.PRNGKey(3), 9, 1, 3, 40, conv=False)
+    kw = dict(
+        nr_test=3, thresh_div=10.0, thresh_stable=3.0, horizon=10,
+        max_steps=40, dt=0.05, test_time=True,
+    )
+    m1, roll1, _ = wing_eval.run_eval(
+        net, wing_params({}), jax.random.PRNGKey(7),
+        jnp.asarray(WING_MEAN), jnp.asarray(WING_STD), **kw,
+    )
+    m2, roll2, _ = wing_eval.run_eval(
+        net, wing_params({}), jax.random.PRNGKey(7),
+        jnp.asarray(WING_MEAN), jnp.asarray(WING_STD), **kw,
+        net_apply=wing_eval._feedforward_apply,
+        action_transform=jax.nn.sigmoid,
+    )
+    assert m1 == m2
+    np.testing.assert_array_equal(
+        np.asarray(roll1["div_target_sum"]), np.asarray(roll2["div_target_sum"])
+    )
+
+
 def test_format_table_markdown():
     rows = {"A": {"x": 1.0, "y": 2.0}, "B": {"x": 3.0}}
     table = format_table(rows, ("x", "y"), title="T")
