@@ -235,7 +235,14 @@ def wing_table(args):
             rows[label] = wing_point_metrics(roll, n)
             print(label, json.dumps(rows[label]))
 
-    ppo_dir = "trained_models/wing/ppo_compare"
+    # prefer a locally trained policy, then the shipped asset behind
+    # docs/WING_COMPARISON.md; train only with --train_ppo
+    ppo_dir = next(
+        (d for d in ("trained_models/wing/ppo_compare",
+                     "assets/wing_ppo_500k")
+         if os.path.exists(os.path.join(d, "model_ppo.npz"))),
+        "trained_models/wing/ppo_compare",
+    )
     obs_dim, act_dim = 12, 4
     ppo_params = None
     if os.path.exists(os.path.join(ppo_dir, "model_ppo.npz")):
@@ -243,7 +250,7 @@ def wing_table(args):
             ppo_dir, "model_ppo",
             init_actor_critic(jax.random.PRNGKey(0), obs_dim, act_dim),
         )
-        tag = "PPO"
+        tag = "PPO (500k)"
     elif args.train_ppo:
         reset_fn, step_fn, od, ad = rl_envs.make_wing_rl(dyn)
         ppo_params, _ = train_ppo(
