@@ -158,8 +158,11 @@ def make_cem_planner(
         )
         return mean, logvar
 
-    def eval_sequences(params, key, state, actions):
-        """actions: (pop, horizon, act_dim) -> (pop,) mean returns."""
+    def eval_sequences(params, key, state, actions, ctx):
+        """actions: (pop, horizon, act_dim) -> (pop,) mean returns.
+        ``ctx``: (horizon, d) per-step reward context (e.g. the upcoming
+        reference rows for quad tracking, the target for the wing);
+        (horizon, 0) when the reward needs none."""
         pop = actions.shape[0]
         N = pop * n_particles
         k_member, k_noise = jax.random.split(key)
@@ -170,7 +173,7 @@ def make_cem_planner(
 
         def body(carry, inp):
             s, total = carry
-            a, mem, eps = inp
+            a, mem, eps, ctx_row = inp
             a_rep = jnp.repeat(a, n_particles, axis=0)  # (N, act)
             x = jnp.concatenate([s, a_rep], axis=-1)
             mean_all, logvar_all = _all_members(params, x)  # (E, N, sd)
@@ -178,18 +181,18 @@ def make_cem_planner(
             mean = jnp.take_along_axis(mean_all, sel, axis=0)[0]
             logvar = jnp.take_along_axis(logvar_all, sel, axis=0)[0]
             s_next = s + mean + jnp.exp(0.5 * logvar) * eps
-            r = reward_fn(s_next, a_rep)
+            r = reward_fn(s_next, a_rep, ctx_row)
             return (s_next, total + r), None
 
         (_, total), _ = jax.lax.scan(
             body, (s0, jnp.zeros(N)), (
-                jnp.swapaxes(actions, 0, 1), members, noise
+                jnp.swapaxes(actions, 0, 1), members, noise, ctx
             )
         )
         return jnp.mean(total.reshape(pop, n_particles), axis=1)
 
     @jax.jit
-    def plan(params, key, state, prev_mean):
+    def plan(params, key, state, prev_mean, ctx):
         mean0 = prev_mean
         std0 = jnp.ones_like(mean0) * 0.5 * (act_high - act_low) * 0.5
 
@@ -200,7 +203,7 @@ def make_cem_planner(
                 k1, (population,) + mean.shape
             )
             samples = jnp.clip(samples, act_low, act_high)
-            returns = eval_sequences(params, k2, state, samples)
+            returns = eval_sequences(params, k2, state, samples, ctx)
             elite_idx = jnp.argsort(-returns)[:n_elites]
             elites = samples[elite_idx]
             new_mean = 0.9 * jnp.mean(elites, axis=0) + 0.1 * mean
@@ -222,17 +225,65 @@ def make_cem_planner(
 # ---------------------------------------------------------------------------
 
 
-def cartpole_reward(state, action):
+def cartpole_reward(state, action, ctx=None):
     """1 - |x_dot| while upright (rl_envs.py:105-110)."""
     upright = jnp.abs(state[..., 2]) < 0.21
     return jnp.where(upright, 1.0 - jnp.abs(state[..., 1]), 0.0)
 
 
 def make_quad_hover_reward(target=jnp.array([0.0, 0.0, 3.0])):
-    def reward(state, action):
+    def reward(state, action, ctx=None):
         pos_div = jnp.linalg.norm(state[..., :3] - target, axis=-1)
         stable = jnp.all(jnp.abs(state[..., 3:5]) < 1.5, axis=-1)
         return jnp.where(stable, 0.3 - pos_div, -1.0)
+
+    return reward
+
+
+def make_quad_tracking_reward(thresh_div=0.3, thresh_stable=1.5):
+    """The quad RL tracking reward on raw states: mario shaping
+    (rl_envs.py:257-308, the reference PETS quad's intent — its
+    ``reward_fns.quad`` comes from a patched mbrl and mirrors the env's
+    reward) with the env's done conditions as a planning penalty.
+
+    ``ctx`` = the (9,) reference row for the planned step."""
+
+    def reward(state, action01, ref_row):
+        pos_loss = jnp.sum(ref_row[:3] - state[..., :3], axis=-1) ** 2
+        ori_loss = jnp.sum(ref_row[3:6] - state[..., 3:6], axis=-1) ** 2
+        vel_loss = jnp.sum(ref_row[6:9] - state[..., 6:9], axis=-1) ** 2
+        act_reward = -0.001 * jnp.sum((0.5 - action01) ** 2, axis=-1)
+        mario = (
+            -0.02 * (pos_loss - 2.0)
+            - 0.01 * (ori_loss - 0.2)
+            - 0.002 * (vel_loss - 2.0)
+            + 0.1
+            + act_reward
+        )
+        pos_div = jnp.linalg.norm(ref_row[:3] - state[..., :3], axis=-1)
+        alive = jnp.all(
+            jnp.abs(state[..., 3:5]) < thresh_stable, axis=-1
+        ) & (pos_div < thresh_div)
+        return jnp.where(alive, mario, -1.0)
+
+    return reward
+
+
+def make_wing_pets_reward(thresh_div=4.0, thresh_stable=0.5):
+    """The wing RL reward on raw states: thresh_div - divergence from the
+    origin->target line while stable (rl_envs.make_wing_rl; the reference
+    PETS wing env is WingEnvRL, pets_baseline.py:45-53).
+
+    ``ctx`` = the (3,) target waypoint."""
+
+    def reward(state, action, target):
+        pos = state[..., :3]
+        # projection of pos onto the origin->target line, batched
+        t = (pos @ target) / jnp.maximum(target @ target, 1e-9)
+        on_line = t[..., None] * target
+        div = jnp.linalg.norm(on_line - pos, axis=-1)
+        stable = jnp.all(jnp.abs(state[..., 6:8]) < thresh_stable, axis=-1)
+        return jnp.where(stable, thresh_div - div, -thresh_div)
 
     return reward
 
@@ -262,10 +313,15 @@ class PETS:
     def reset_plan(self):
         self.plan_mean = jnp.zeros((self.horizon, self.act_dim))
 
-    def act(self, state):
+    def act(self, state, ctx=None):
+        """``ctx``: optional (horizon, d) per-step reward context (ref
+        window rows / target); contextless rewards get (horizon, 0)."""
+        if ctx is None:
+            ctx = jnp.zeros((self.horizon, 0), jnp.float32)
         self.key, k = jax.random.split(self.key)
         action, self.plan_mean = self.plan(
-            self.model, k, jnp.asarray(state), self.plan_mean
+            self.model, k, jnp.asarray(state), self.plan_mean,
+            jnp.asarray(ctx),
         )
         return np.asarray(action)
 
@@ -347,6 +403,218 @@ def run_pets_cartpole(trials=200, trial_length=200, seed=0, dt=0.05,
             # periodic persistence hook (long runs survive interruption)
             on_trial(trial, agent, rewards_per_trial)
     return agent, rewards_per_trial
+
+
+def run_pets_wing(trials=50, trial_length=200, seed=0, dt=0.05,
+                  thresh_div=4.0, thresh_stable=0.5, verbose=True,
+                  on_trial=None):
+    """PETS on the fixed-wing fly-to-point task — the reference PETS
+    script's DEFAULT system (pets_baseline.py:22,45-53: WingEnvRL). One
+    random-action exploration trial around the data-sampler's action prior
+    (wing_env.py:72-95), then ``trials`` trials of (train ensemble -> CEM
+    plan per step); episodes end on target pass / divergence from the
+    origin->target line / instability, like make_wing_rl.
+
+    Returns (agent, history) with history = {"rewards": per-trial summed
+    env reward, "target_errors": per-trial final waypoint error (None if
+    the episode never passed the target)}.
+    """
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import (
+        wing_params,
+        wing_step,
+    )
+
+    dyn = wing_params({})
+    agent = PETS(
+        state_dim=12, act_dim=4,
+        reward_fn=make_wing_pets_reward(thresh_div, thresh_stable),
+        act_low=0.0, act_high=1.0, seed=seed, horizon=10,
+        population=150, n_elites=15, n_particles=5, n_iters=5,
+    )
+    rng = np.random.RandomState(seed)
+
+    def new_target():
+        return np.array(
+            [50.0, (rng.rand() - 0.5) * 10, (rng.rand() - 0.5) * 10],
+            np.float32,
+        )
+
+    def reset_state():
+        s = np.zeros(12, np.float32)
+        s[3] = 11.5  # level flight (wing_env.py:26-28)
+        return s
+
+    def env_step(state, a):
+        return np.asarray(
+            wing_step(dyn, jnp.asarray(state[None]), jnp.asarray(a[None]),
+                      dt)
+        )[0]
+
+    def status(state, target):
+        pos = state[:3]
+        t = float(pos @ target) / max(float(target @ target), 1e-9)
+        div = float(np.linalg.norm(t * target - pos))
+        passed = bool(pos[0] > target[0])
+        unstable = not bool(np.all(np.abs(state[6:8]) < thresh_stable))
+        return passed or unstable or div > thresh_div, div, passed
+
+    state, target = reset_state(), new_target()
+    for _ in range(trial_length):
+        a = np.clip(
+            np.array([0.25, 0.5, 0.5, 0.5]) + (rng.rand(4) - 0.5) * 0.5,
+            0.0, 1.0,
+        ).astype(np.float32)
+        s2 = env_step(state, a)
+        agent.record(state, a, s2)
+        state = s2
+        if status(state, target)[0]:
+            state, target = reset_state(), new_target()
+
+    history = {"rewards": [], "target_errors": []}
+    for trial in range(trials):
+        loss = agent.train_model(n_batches=200)
+        state, target = reset_state(), new_target()
+        ctx = np.tile(target, (agent.horizon, 1)).astype(np.float32)
+        agent.reset_plan()
+        total, final_err, step_i = 0.0, None, 0
+        for step_i in range(trial_length):
+            a = agent.act(state, ctx)
+            prev = state
+            state = env_step(state, a)
+            agent.record(prev, a, state)
+            done, div, passed = status(state, target)
+            if not done:
+                total += thresh_div - div  # make_wing_rl reward
+            else:
+                if passed:
+                    # waypoint error: distance of the target to the passed
+                    # segment (evaluate_fixed_wing.py:159-178)
+                    seg = state[:3] - prev[:3]
+                    t = np.clip(
+                        float((target - prev[:3]) @ seg)
+                        / max(float(seg @ seg), 1e-9), 0.0, 1.0,
+                    )
+                    final_err = float(
+                        np.linalg.norm(prev[:3] + t * seg - target)
+                    )
+                break
+        history["rewards"].append(total)
+        history["target_errors"].append(final_err)
+        if verbose:
+            err = "—" if final_err is None else f"{final_err:.3f}"
+            print(f"trial {trial}: reward {total:.1f} steps {step_i + 1} "
+                  f"target_err {err} model loss {loss:.2f}")
+        if on_trial is not None:
+            on_trial(trial, agent, history)
+    return agent, history
+
+
+def run_pets_quad(trials=50, trial_length=200, seed=0, dt=0.1, speed=0.2,
+                  horizon=10, thresh_div=0.3, thresh_stable=1.5,
+                  data_dir="data/traj_data", verbose=True, on_trial=None):
+    """PETS on quad trajectory tracking — the reference quad PETS setup
+    (pets_baseline.py:34-44: QuadEnvRL at dt 0.1, speed 0.2). The ensemble
+    models the 12-dim raw state (Markov — unlike the reference, whose
+    mbrl wrapper is forced to model the 105-dim env observation); the CEM
+    planner's per-step reward context is the upcoming reference window.
+
+    Returns (agent, history) with history = {"rewards": per-trial summed
+    mario reward, "divergences": per-trial mean tracking divergence,
+    "steps": per-trial steps survived}.
+    """
+    from apg_trajectory_tracking_tpu.dynamics.quad import (
+        quad_params,
+        quad_step,
+    )
+    from apg_trajectory_tracking_tpu.trajectory.generate import (
+        ensure_trajectory_bank,
+        load_trajectory_bank,
+        prepare_trajectory,
+    )
+
+    bank = load_trajectory_bank(ensure_trajectory_bank(data_dir))
+    prepared = np.stack(
+        [prepare_trajectory(t, dt, speed) for t in bank[:64]]
+    ).astype(np.float32)
+    T = prepared.shape[1]
+    dyn = quad_params()
+    reward_fn = make_quad_tracking_reward(thresh_div, thresh_stable)
+    agent = PETS(
+        state_dim=12, act_dim=4, reward_fn=reward_fn,
+        act_low=0.0, act_high=1.0, seed=seed, horizon=horizon,
+        population=150, n_elites=15, n_particles=5, n_iters=5,
+    )
+    rng = np.random.RandomState(seed)
+
+    def env_step(state, a):
+        return np.asarray(
+            quad_step(dyn, jnp.asarray(state[None]), jnp.asarray(a[None]),
+                      dt)
+        )[0]
+
+    def reset_episode():
+        ti = rng.randint(len(prepared))
+        s = np.zeros(12, np.float32)
+        s[:3] = prepared[ti, 0, :3]
+        return ti, 0, s
+
+    def ref_window(ti, ind):
+        idx = np.minimum(ind + 1 + np.arange(horizon), T - 1)
+        return prepared[ti][idx]
+
+    def done_of(state, ti, ind):
+        ref_row = prepared[ti, min(ind, T - 1)]
+        pos_div = float(np.linalg.norm(ref_row[:3] - state[:3]))
+        unstable = not bool(np.all(np.abs(state[3:5]) < thresh_stable))
+        return (
+            unstable or pos_div > thresh_div or ind > T - horizon - 2,
+            pos_div,
+        )
+
+    ti, ind, state = reset_episode()
+    for _ in range(trial_length):
+        # hover-biased random exploration (the quad falls instantly under
+        # uniform actions, leaving the ensemble with no on-trajectory data)
+        a = np.clip(0.5 + (rng.rand(4) - 0.5) * 0.4, 0.0, 1.0).astype(
+            np.float32
+        )
+        s2 = env_step(state, a)
+        agent.record(state, a, s2)
+        state, ind = s2, ind + 1
+        if done_of(state, ti, ind)[0]:
+            ti, ind, state = reset_episode()
+
+    history = {"rewards": [], "divergences": [], "steps": []}
+    for trial in range(trials):
+        loss = agent.train_model(n_batches=200)
+        ti, ind, state = reset_episode()
+        agent.reset_plan()
+        total, divs = 0.0, []
+        step_i = 0
+        for step_i in range(trial_length):
+            ctx = ref_window(ti, ind)
+            a = agent.act(state, ctx)
+            prev = state
+            state = env_step(state, a)
+            agent.record(prev, a, state)
+            ind += 1
+            done, pos_div = done_of(state, ti, ind)
+            divs.append(pos_div)
+            if done:
+                break
+            total += float(
+                reward_fn(jnp.asarray(state), jnp.asarray(a),
+                          jnp.asarray(prepared[ti, min(ind, T - 1)]))
+            )
+        history["rewards"].append(total)
+        history["divergences"].append(float(np.mean(divs)))
+        history["steps"].append(step_i + 1)
+        if verbose:
+            print(f"trial {trial}: reward {total:.2f} steps {step_i + 1} "
+                  f"mean_div {np.mean(divs):.3f} model loss {loss:.2f}")
+        if on_trial is not None:
+            on_trial(trial, agent, history)
+    return agent, history
 
 
 def eval_pets_balance(agent, dyn_params, starts, max_steps=250, dt=0.05,

@@ -1,6 +1,8 @@
 #!/usr/bin/env python
-"""Pure-JAX PETS baseline on the cartpole (counterpart of the reference's
-baselines/pets_baseline.py with mbrl-lib)."""
+"""Pure-JAX PETS baseline (counterpart of the reference's
+baselines/pets_baseline.py with mbrl-lib, which switches between
+cartpole / quad / fixed_wing via its SYSTEM constant at line 22 —
+fixed_wing is its default)."""
 
 import argparse
 import json
@@ -12,6 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("-r", "--robot", default="cartpole",
+                        choices=["cartpole", "wing", "quad"])
     parser.add_argument("--trials", type=int, default=20)
     parser.add_argument("--trial_length", type=int, default=200)
     parser.add_argument("--seed", type=int, default=0)
@@ -26,34 +30,38 @@ def main():
 
         force_cpu_backend()
 
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
     from apg_trajectory_tracking_tpu.baselines.pets import (
         run_pets_cartpole,
+        run_pets_quad,
+        run_pets_wing,
     )
     from apg_trajectory_tracking_tpu.utils.checkpoints import save_checkpoint
 
-    save_path = os.path.join("trained_models", "cartpole", args.save_name)
+    save_path = os.path.join("trained_models", args.robot, args.save_name)
     os.makedirs(save_path, exist_ok=True)
 
-    def persist(trial, agent, rewards, force=False):
+    def persist(trial, agent, history, force=False):
         if not force and (trial + 1) % 10 != 0:
             return
-        with open(os.path.join(save_path, "pets_rewards.json"), "w") as f:
-            json.dump(rewards, f)
-        # ensemble checkpoint so eval tooling (compare_baselines
-        # --cartpole) can reload the trained model
+        with open(os.path.join(save_path, "pets_history.json"), "w") as f:
+            json.dump(history, f)
+        # ensemble checkpoint so eval tooling (compare_baselines) can
+        # reload the trained model
         save_checkpoint(save_path, "model_pets", agent.model,
-                        {"trials": trial + 1,
+                        {"robot": args.robot, "trials": trial + 1,
                          "trial_length": args.trial_length})
 
-    agent, rewards_per_trial = run_pets_cartpole(
-        trials=args.trials, trial_length=args.trial_length, seed=args.seed,
-        on_trial=persist,
-    )
-    # final write regardless of count, stamped with the REAL trial count
-    persist(len(rewards_per_trial) - 1, agent, rewards_per_trial, force=True)
+    kwargs = dict(trials=args.trials, trial_length=args.trial_length,
+                  seed=args.seed, on_trial=persist)
+    if args.robot == "cartpole":
+        agent, rewards = run_pets_cartpole(**kwargs)
+        history = {"rewards": rewards}
+    elif args.robot == "wing":
+        agent, history = run_pets_wing(**kwargs)
+    else:
+        agent, history = run_pets_quad(**kwargs)
+    n_trials = len(history["rewards"])
+    persist(n_trials - 1, agent, history, force=True)
     print("saved to", save_path)
 
 

@@ -54,3 +54,54 @@ def test_pets_learns_cartpole_balance():
         steps_per_trial.append(steps)
 
     assert steps_per_trial[-1] > 60, f"PETS did not learn: {steps_per_trial}"
+
+
+def test_pets_context_reward_sees_per_step_rows():
+    """The CEM planner threads the (horizon, d) context row-by-row through
+    the planned steps: with a reward that only pays on the LAST context
+    row's flag, planning still runs and returns in-range actions."""
+    from apg_trajectory_tracking_tpu.baselines.pets import PETS
+
+    def reward(state, action, ctx_row):
+        # pays ctx_row[0]; rows are 0 except the last -> return equals
+        # the last row's value regardless of the model
+        return jnp.broadcast_to(ctx_row[0], state.shape[:-1])
+
+    agent = PETS(
+        3, 2, reward, 0.0, 1.0, horizon=4, seed=0,
+        population=20, n_elites=4, n_particles=2, n_iters=2,
+    )
+    rng = np.random.RandomState(0)
+    for _ in range(8):
+        agent.record(rng.randn(3), rng.rand(2), rng.randn(3))
+    agent.train_model(n_batches=2)
+    ctx = np.zeros((4, 1), np.float32)
+    ctx[-1, 0] = 1.0
+    a = agent.act(np.zeros(3, np.float32), ctx)
+    assert a.shape == (2,) and np.all(a >= 0.0) and np.all(a <= 1.0)
+
+
+@pytest.mark.slow
+def test_pets_wing_runner_smoke():
+    """run_pets_wing: two tiny trials produce finite rewards and the
+    history contract (the reference PETS script's default system)."""
+    from apg_trajectory_tracking_tpu.baselines.pets import run_pets_wing
+
+    agent, hist = run_pets_wing(trials=2, trial_length=25, verbose=False)
+    assert len(hist["rewards"]) == 2
+    assert len(hist["target_errors"]) == 2
+    assert np.all(np.isfinite(hist["rewards"]))
+
+
+@pytest.mark.slow
+def test_pets_quad_runner_smoke(tiny_bank):
+    """run_pets_quad: two tiny trials on the CI bank produce finite
+    divergences (the reference quad PETS setup at dt 0.1, speed 0.2)."""
+    from apg_trajectory_tracking_tpu.baselines.pets import run_pets_quad
+
+    agent, hist = run_pets_quad(
+        trials=2, trial_length=20, data_dir=str(tiny_bank), verbose=False,
+    )
+    assert len(hist["rewards"]) == 2
+    assert np.all(np.isfinite(hist["divergences"]))
+    assert all(s >= 1 for s in hist["steps"])
