@@ -617,6 +617,85 @@ def run_pets_quad(trials=50, trial_length=200, seed=0, dt=0.1, speed=0.2,
     return agent, history
 
 
+def eval_pets_wing_waypoints(agent, dyn_params, targets, thresh_div=10.0,
+                             thresh_stable=3.0, max_steps=1000, dt=0.05,
+                             seed=0):
+    """Fly a trained wing PETS agent to shared waypoints under the wing
+    head-to-head protocol (wing_eval.fly_to_point test-time semantics:
+    x-crossing pass, target-to-passed-segment metric, break on
+    divergence/instability). All episodes plan in lockstep — one vmapped
+    CEM plan per control step — and the loop exits when every episode has
+    ended. Returns the fly_to_point contract so wing_point_metrics applies.
+    """
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import (
+        wing_is_stable,
+        wing_step,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.wing_eval import DES_SPEED
+    from apg_trajectory_tracking_tpu.trajectory.refs import project_to_line
+
+    targets = jnp.asarray(targets, jnp.float32)
+    n = targets.shape[0]
+    state0 = jnp.zeros((n, 12), jnp.float32).at[:, 3].set(DES_SPEED)
+    line_start0 = state0[:, :3]
+    ctx = jnp.tile(targets[:, None, :], (1, agent.horizon, 1))
+    batched_proj = jax.vmap(project_to_line)
+    v_plan = jax.vmap(agent.plan, in_axes=(None, 0, 0, 0, 0))
+
+    @jax.jit
+    def advance(model, keys, state, plan_mean, done, dsum, dcnt, npass,
+                nalive):
+        actions, plan_mean = v_plan(model, keys, state, plan_mean, ctx)
+        new_state = wing_step(dyn_params, state, actions, dt)
+
+        stable = wing_is_stable(new_state, thresh_stable)
+        pos = new_state[:, :3]
+        drone_on_line = batched_proj(line_start0, targets, pos)
+        div = jnp.linalg.norm(drone_on_line - pos, axis=1)
+        passed = pos[:, 0] > targets[:, 0]
+        prev_pos = state[:, :3]
+        target_on_traj = batched_proj(prev_pos, pos, targets)
+        pass_div = jnp.linalg.norm(target_on_traj - targets, axis=1)
+        diverged = jnp.logical_or(div > thresh_div, ~stable)
+
+        active = ~done
+        event_div = jnp.where(
+            passed, pass_div, jnp.linalg.norm(pos - targets, axis=1)
+        )
+        event = jnp.logical_and(active, jnp.logical_or(passed, diverged))
+        dsum = dsum + jnp.where(event, event_div, 0.0)
+        dcnt = dcnt + event.astype(jnp.int32)
+        new_done = jnp.logical_or(done, jnp.logical_or(passed, diverged))
+        npass = jnp.logical_or(npass, jnp.logical_and(active, passed))
+        nalive = nalive + active.astype(jnp.int32)
+        next_state = jnp.where(done[:, None], state, new_state)
+        return next_state, plan_mean, new_done, dsum, dcnt, npass, nalive
+
+    key = jax.random.PRNGKey(seed)
+    state = state0
+    plan_mean = jnp.zeros((n, agent.horizon, agent.act_dim))
+    done = jnp.zeros(n, bool)
+    dsum, dcnt = jnp.zeros(n), jnp.zeros(n, jnp.int32)
+    npass = jnp.zeros(n, bool)
+    nalive = jnp.zeros(n, jnp.int32)
+    for _ in range(max_steps):
+        key, k = jax.random.split(key)
+        state, plan_mean, done, dsum, dcnt, npass, nalive = advance(
+            agent.model, jax.random.split(k, n), state, plan_mean, done,
+            dsum, dcnt, npass, nalive,
+        )
+        if bool(done.all()):
+            break
+    dsum = dsum + jnp.where(dcnt == 0, thresh_div, 0.0)
+    dcnt = jnp.maximum(dcnt, 1)
+    return {
+        "div_target_sum": dsum,
+        "div_target_cnt": dcnt,
+        "passed": npass,
+        "steps_alive": nalive,
+    }
+
+
 def eval_pets_balance(agent, dyn_params, starts, max_steps=250, dt=0.05,
                       thresh_div=0.21):
     """Balance-evaluator metrics (steps upright, mean |velocity|) for a

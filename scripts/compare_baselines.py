@@ -277,6 +277,36 @@ def wing_table(args):
     else:
         print("wing PPO: no checkpoint at", ppo_dir,
               "(pass --train_ppo to train one)")
+
+    # PETS row: prefer a locally trained ensemble, then the shipped asset
+    # (train one with scripts/pets_baseline.py -r wing)
+    pets_dir = next(
+        (d for d in ("trained_models/wing/pets_50",
+                     "trained_models/wing/pets", "assets/wing_pets")
+         if os.path.exists(os.path.join(d, "model_pets.npz"))), None,
+    )
+    if pets_dir is not None:
+        from apg_trajectory_tracking_tpu.baselines.pets import (
+            PETS,
+            eval_pets_wing_waypoints,
+            make_wing_pets_reward,
+        )
+
+        agent = PETS(
+            state_dim=12, act_dim=4, reward_fn=make_wing_pets_reward(),
+            act_low=0.0, act_high=1.0, horizon=10,
+            population=150, n_elites=15, n_particles=5, n_iters=5,
+        )
+        agent.model = load_checkpoint(pets_dir, "model_pets", agent.model)
+        roll = eval_pets_wing_waypoints(
+            agent, dyn, targets, thresh_div=thresh_div,
+            thresh_stable=thresh_stable, max_steps=max_steps, dt=dt,
+        )
+        rows["PETS"] = wing_point_metrics(roll, n)
+        print("PETS", json.dumps(rows["PETS"]))
+    else:
+        print("wing PETS: no saved ensemble "
+              "(train one with pets_baseline.py -r wing)")
     return rows, n
 
 

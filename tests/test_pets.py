@@ -81,6 +81,39 @@ def test_pets_context_reward_sees_per_step_rows():
     assert a.shape == (2,) and np.all(a >= 0.0) and np.all(a <= 1.0)
 
 
+def test_eval_pets_wing_waypoints_contract():
+    """The batched PETS waypoint evaluator emits the fly_to_point contract
+    (one vmapped CEM plan per lockstep control step)."""
+    from apg_trajectory_tracking_tpu.baselines.pets import (
+        PETS,
+        eval_pets_wing_waypoints,
+        make_wing_pets_reward,
+    )
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import wing_params
+    from apg_trajectory_tracking_tpu.evaluation.compare import (
+        wing_point_metrics,
+    )
+
+    agent = PETS(
+        12, 4, make_wing_pets_reward(), 0.0, 1.0, horizon=4, seed=0,
+        population=20, n_elites=4, n_particles=2, n_iters=2,
+    )
+    rng = np.random.RandomState(0)
+    for _ in range(8):
+        s = rng.randn(12).astype(np.float32)
+        agent.record(s, rng.rand(4), s + 0.01 * rng.randn(12))
+    agent.train_model(n_batches=2)
+    targets = np.array([[50.0, 1.0, 0.0], [50.0, -1.0, 1.0]], np.float32)
+    roll = eval_pets_wing_waypoints(
+        agent, wing_params({}), targets, max_steps=8,
+    )
+    m = wing_point_metrics(roll, 2)
+    assert roll["div_target_sum"].shape == (2,)
+    assert np.isfinite(m["mean_target_error"])
+    assert 0.0 <= m["pass_rate"] <= 1.0
+    assert np.all(np.asarray(roll["steps_alive"]) <= 8)
+
+
 @pytest.mark.slow
 def test_pets_wing_runner_smoke():
     """run_pets_wing: two tiny trials produce finite rewards and the
