@@ -249,9 +249,14 @@ def make_quad_tracking_reward(thresh_div=0.3, thresh_stable=1.5):
     ``ctx`` = the (9,) reference row for the planned step."""
 
     def reward(state, action01, ref_row):
-        pos_loss = jnp.sum(ref_row[:3] - state[..., :3], axis=-1) ** 2
-        ori_loss = jnp.sum(ref_row[3:6] - state[..., 3:6], axis=-1) ** 2
-        vel_loss = jnp.sum(ref_row[6:9] - state[..., 6:9], axis=-1) ** 2
+        # sum of SQUARED errors. The env reward (and the reference's
+        # get_reward_mario, rl_envs.py:279-281) squares the SUM, letting
+        # opposite-sign axis errors cancel — tolerable as a training
+        # signal, but as the CEM objective it would actively reward
+        # canceling-axis rollouts over genuinely closer ones.
+        pos_loss = jnp.sum((ref_row[:3] - state[..., :3]) ** 2, axis=-1)
+        ori_loss = jnp.sum((ref_row[3:6] - state[..., 3:6]) ** 2, axis=-1)
+        vel_loss = jnp.sum((ref_row[6:9] - state[..., 6:9]) ** 2, axis=-1)
         act_reward = -0.001 * jnp.sum((0.5 - action01) ** 2, axis=-1)
         mario = (
             -0.02 * (pos_loss - 2.0)
@@ -627,19 +632,18 @@ def eval_pets_wing_waypoints(agent, dyn_params, targets, thresh_div=10.0,
     CEM plan per control step — and the loop exits when every episode has
     ended. Returns the fly_to_point contract so wing_point_metrics applies.
     """
-    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import (
-        wing_is_stable,
-        wing_step,
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import wing_step
+    from apg_trajectory_tracking_tpu.evaluation.wing_eval import (
+        DES_SPEED,
+        finalize_waypoint_counts,
+        waypoint_step_events,
     )
-    from apg_trajectory_tracking_tpu.evaluation.wing_eval import DES_SPEED
-    from apg_trajectory_tracking_tpu.trajectory.refs import project_to_line
 
     targets = jnp.asarray(targets, jnp.float32)
     n = targets.shape[0]
     state0 = jnp.zeros((n, 12), jnp.float32).at[:, 3].set(DES_SPEED)
     line_start0 = state0[:, :3]
     ctx = jnp.tile(targets[:, None, :], (1, agent.horizon, 1))
-    batched_proj = jax.vmap(project_to_line)
     v_plan = jax.vmap(agent.plan, in_axes=(None, 0, 0, 0, 0))
 
     @jax.jit
@@ -647,28 +651,13 @@ def eval_pets_wing_waypoints(agent, dyn_params, targets, thresh_div=10.0,
                 nalive):
         actions, plan_mean = v_plan(model, keys, state, plan_mean, ctx)
         new_state = wing_step(dyn_params, state, actions, dt)
-
-        stable = wing_is_stable(new_state, thresh_stable)
-        pos = new_state[:, :3]
-        drone_on_line = batched_proj(line_start0, targets, pos)
-        div = jnp.linalg.norm(drone_on_line - pos, axis=1)
-        passed = pos[:, 0] > targets[:, 0]
-        prev_pos = state[:, :3]
-        target_on_traj = batched_proj(prev_pos, pos, targets)
-        pass_div = jnp.linalg.norm(target_on_traj - targets, axis=1)
-        diverged = jnp.logical_or(div > thresh_div, ~stable)
-
-        active = ~done
-        event_div = jnp.where(
-            passed, pass_div, jnp.linalg.norm(pos - targets, axis=1)
+        next_state, new_done, dsum, dcnt, npass, active = (
+            waypoint_step_events(
+                state, new_state, targets, line_start0, done, dsum, dcnt,
+                npass, thresh_div, thresh_stable,
+            )
         )
-        event = jnp.logical_and(active, jnp.logical_or(passed, diverged))
-        dsum = dsum + jnp.where(event, event_div, 0.0)
-        dcnt = dcnt + event.astype(jnp.int32)
-        new_done = jnp.logical_or(done, jnp.logical_or(passed, diverged))
-        npass = jnp.logical_or(npass, jnp.logical_and(active, passed))
         nalive = nalive + active.astype(jnp.int32)
-        next_state = jnp.where(done[:, None], state, new_state)
         return next_state, plan_mean, new_done, dsum, dcnt, npass, nalive
 
     key = jax.random.PRNGKey(seed)
@@ -686,8 +675,7 @@ def eval_pets_wing_waypoints(agent, dyn_params, targets, thresh_div=10.0,
         )
         if bool(done.all()):
             break
-    dsum = dsum + jnp.where(dcnt == 0, thresh_div, 0.0)
-    dcnt = jnp.maximum(dcnt, 1)
+    dsum, dcnt = finalize_waypoint_counts(dsum, dcnt, thresh_div)
     return {
         "div_target_sum": dsum,
         "div_target_cnt": dcnt,

@@ -264,12 +264,12 @@ def mpc_fly_to_point(
     Returns the same {div_target_sum/cnt, steps_alive} contract as
     fly_to_point, so one metrics path serves every table row.
     """
-    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import (
-        wing_is_stable,
-        wing_step,
+    from apg_trajectory_tracking_tpu.dynamics.fixed_wing import wing_step
+    from apg_trajectory_tracking_tpu.evaluation.wing_eval import (
+        DES_SPEED,
+        finalize_waypoint_counts,
+        waypoint_step_events,
     )
-    from apg_trajectory_tracking_tpu.evaluation.wing_eval import DES_SPEED
-    from apg_trajectory_tracking_tpu.trajectory.refs import project_to_line
 
     if dyn_step is None:
         dyn_step = wing_step
@@ -278,7 +278,6 @@ def mpc_fly_to_point(
     line_start0 = state0[:, :3]
     z0 = jnp.zeros((n, horizon, 4), jnp.float32)
     v_solve = jax.vmap(solve, in_axes=(None, 0, 0, 0))
-    batched_proj = jax.vmap(project_to_line)
 
     def ramp(state, target):
         # MPC._ref_wing in-graph: horizon positions marching toward the
@@ -300,26 +299,12 @@ def mpc_fly_to_point(
         z_shift = jnp.concatenate([z_new[:, 1:], z_new[:, -1:]], axis=1)
         new_state = dyn_step(dyn_params, state, u_seq[:, 0], dt)
 
-        stable = wing_is_stable(new_state, thresh_stable)
-        pos = new_state[:, :3]
-        drone_on_line = batched_proj(line_start0, targets, pos)
-        div = jnp.linalg.norm(drone_on_line - pos, axis=1)
-        passed = pos[:, 0] > targets[:, 0]
-        prev_pos = state[:, :3]
-        target_on_traj = batched_proj(prev_pos, pos, targets)
-        pass_div = jnp.linalg.norm(target_on_traj - targets, axis=1)
-        diverged = jnp.logical_or(div > thresh_div, ~stable)
-
-        active = ~done
-        event_div = jnp.where(
-            passed, pass_div, jnp.linalg.norm(pos - targets, axis=1)
+        next_state, new_done, dsum, dcnt, npass, active = (
+            waypoint_step_events(
+                state, new_state, targets, line_start0, done, dsum, dcnt,
+                npass, thresh_div, thresh_stable,
+            )
         )
-        event = jnp.logical_and(active, jnp.logical_or(passed, diverged))
-        dsum = dsum + jnp.where(event, event_div, 0.0)
-        dcnt = dcnt + event.astype(jnp.int32)
-        new_done = jnp.logical_or(done, jnp.logical_or(passed, diverged))
-        npass = jnp.logical_or(npass, jnp.logical_and(active, passed))
-        next_state = jnp.where(done[:, None], state, new_state)
         next_z = jnp.where(done[:, None, None], z, z_shift)
         nalive = nalive + active.astype(jnp.int32)
         return (
@@ -331,9 +316,14 @@ def mpc_fly_to_point(
     # the TPU worker. Chunk it into bounded segments driven from the host,
     # which also gives early exit once every episode has ended (typical
     # pass happens within ~100-300 steps).
-    @jax.jit
-    def run_segment(carry):
-        return jax.lax.scan(body, carry, None, length=segment_len)[0]
+    segments = {}
+
+    def run_segment(carry, length):
+        if length not in segments:
+            segments[length] = jax.jit(
+                lambda c: jax.lax.scan(body, c, None, length=length)[0]
+            )
+        return segments[length](carry)
 
     carry = (
         state0, z0, jnp.zeros(n, dtype=bool), jnp.zeros(n),
@@ -342,13 +332,16 @@ def mpc_fly_to_point(
     )
     steps = 0
     while steps < max_steps:
-        carry = run_segment(carry)
-        steps += segment_len
+        # clamp the tail so episodes get EXACTLY max_steps regardless of
+        # segment granularity (a full trailing segment would grade MPC
+        # under a laxer protocol than the other table rows)
+        length = min(segment_len, max_steps - steps)
+        carry = run_segment(carry, length)
+        steps += length
         if bool(carry[2].all()):
             break
     _, _, done, dsum, dcnt, npass, nalive = carry
-    dsum = dsum + jnp.where(dcnt == 0, thresh_div, 0.0)
-    dcnt = jnp.maximum(dcnt, 1)
+    dsum, dcnt = finalize_waypoint_counts(dsum, dcnt, thresh_div)
     return {
         "div_target_sum": dsum,
         "div_target_cnt": dcnt,
@@ -360,8 +353,10 @@ def mpc_fly_to_point(
 def wing_point_metrics(roll, targets_n=None):
     """Aggregate wing waypoint metrics from a fly_to_point-contract rollout:
     mean/std per-episode target error (evaluate_fixed_wing.py:159-178) plus
-    the pass rate (episodes that crossed the target's x before diverging —
-    a non-passing episode carries the thresh_div penalty in its error)."""
+    the pass rate (episodes that crossed the target's x before diverging).
+    A diverged episode's error is its distance to the target at the
+    divergence event; only episodes that never end within max_steps carry
+    the flat thresh_div penalty."""
     dsum = np.asarray(roll["div_target_sum"])
     dcnt = np.asarray(roll["div_target_cnt"])
     if targets_n is not None:

@@ -29,6 +29,52 @@ def _feedforward_apply(net_params, carry, normed, rel_ref):
     return carry, control_net_apply(net_params, normed, rel_ref)
 
 
+def waypoint_step_events(state, new_state, targets, line_start, done,
+                         dsum, dcnt, npass, thresh_div, thresh_stable):
+    """One control step of TEST-TIME pass/divergence event accounting,
+    shared by every wing waypoint driver (APG/PPO ``fly_to_point``,
+    ``compare.mpc_fly_to_point``, ``pets.eval_pets_wing_waypoints``) so the
+    head-to-head protocol cannot drift between controller families.
+
+    Events (fly_to_point, evaluate_fixed_wing.py:91-126): crossing the
+    target's x records the distance of the target to the passed segment;
+    diverging from the origin->target line (or losing attitude stability)
+    records the current distance to the target; either ends the episode.
+    Ended episodes latch their state.
+
+    Returns (next_state, new_done, dsum, dcnt, npass, active).
+    """
+    batched_proj = jax.vmap(project_to_line)
+    stable = wing_is_stable(new_state, thresh_stable)
+    pos = new_state[:, :3]
+    drone_on_line = batched_proj(line_start, targets, pos)
+    div = jnp.linalg.norm(drone_on_line - pos, axis=1)
+    passed = pos[:, 0] > targets[:, 0]
+    prev_pos = state[:, :3]
+    target_on_traj = batched_proj(prev_pos, pos, targets)
+    pass_div = jnp.linalg.norm(target_on_traj - targets, axis=1)
+    diverged = jnp.logical_or(div > thresh_div, ~stable)
+
+    active = ~done
+    event_div = jnp.where(
+        passed, pass_div, jnp.linalg.norm(pos - targets, axis=1)
+    )
+    event = jnp.logical_and(active, jnp.logical_or(passed, diverged))
+    dsum = dsum + jnp.where(event, event_div, 0.0)
+    dcnt = dcnt + event.astype(jnp.int32)
+    new_done = jnp.logical_or(done, jnp.logical_or(passed, diverged))
+    npass = jnp.logical_or(npass, jnp.logical_and(active, passed))
+    next_state = jnp.where(done[:, None], state, new_state)
+    return next_state, new_done, dsum, dcnt, npass, active
+
+
+def finalize_waypoint_counts(dsum, dcnt, thresh_div):
+    """Never-ended episodes get the max-steps thresh_div penalty
+    (fly_to_point:124-126); guards the per-episode mean's denominator."""
+    dsum = dsum + jnp.where(dcnt == 0, thresh_div, 0.0)
+    return dsum, jnp.maximum(dcnt, 1)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -81,33 +127,29 @@ def fly_to_point(
         actions = action_transform(logits).reshape(n, -1, 4)
         new_state = dyn_step(dyn_params, state, actions[:, 0], dt)
 
-        stable = wing_is_stable(new_state, thresh_stable)
-        pos = new_state[:, :3]
-        drone_on_line = batched_proj(line_start, targets, pos)
-        div = jnp.linalg.norm(drone_on_line - pos, axis=1)
-
-        # waypoint passed: x beyond the target's x (fly_to_point:91-109)
-        passed = pos[:, 0] > targets[:, 0]
-        prev_pos = state[:, :3]
-        target_on_traj = batched_proj(prev_pos, pos, targets)
-        pass_div = jnp.linalg.norm(target_on_traj - targets, axis=1)
-
-        diverged = jnp.logical_or(div > thresh_div, ~stable)
-
-        active = ~done
-        # record target divergence on pass or divergence events
         if test_time:
-            event_div = jnp.where(
-                passed, pass_div, jnp.linalg.norm(pos - targets, axis=1)
+            next_state, new_done, dsum, dcnt, npass, active = (
+                waypoint_step_events(
+                    state, new_state, targets, line_start, done, dsum,
+                    dcnt, npass, thresh_div, thresh_stable,
+                )
             )
-            event = jnp.logical_and(active, jnp.logical_or(passed, diverged))
-            dsum = dsum + jnp.where(event, event_div, 0.0)
-            dcnt = dcnt + event.astype(jnp.int32)
-            new_done = jnp.logical_or(done, jnp.logical_or(passed, diverged))
-            next_state = jnp.where(done[:, None], state, new_state)
             new_line_start = line_start
-            npass = jnp.logical_or(npass, jnp.logical_and(active, passed))
         else:
+            stable = wing_is_stable(new_state, thresh_stable)
+            pos = new_state[:, :3]
+            drone_on_line = batched_proj(line_start, targets, pos)
+            div = jnp.linalg.norm(drone_on_line - pos, axis=1)
+
+            # waypoint passed: x beyond the target's x (fly_to_point:91-109)
+            passed = pos[:, 0] > targets[:, 0]
+            prev_pos = state[:, :3]
+            target_on_traj = batched_proj(prev_pos, pos, targets)
+            pass_div = jnp.linalg.norm(target_on_traj - targets, axis=1)
+
+            diverged = jnp.logical_or(div > thresh_div, ~stable)
+
+            active = ~done
             # train time: divergence -> thresh_div penalty + reset onto the
             # line flying at cruise speed toward the target
             # (fly_to_point:111-123); pass ends the episode
@@ -147,10 +189,7 @@ def fly_to_point(
     (final_state, _, done, dsum, dcnt, npass, _), (states, valid) = jax.lax.scan(
         body, init, jnp.arange(max_steps)
     )
-    # episodes that never ended get the max-steps penalty
-    # (fly_to_point:124-126)
-    dsum = dsum + jnp.where(dcnt == 0, thresh_div, 0.0)
-    dcnt = jnp.maximum(dcnt, 1)
+    dsum, dcnt = finalize_waypoint_counts(dsum, dcnt, thresh_div)
     return {
         "div_target_sum": dsum,
         "div_target_cnt": dcnt,

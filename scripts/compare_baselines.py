@@ -250,7 +250,13 @@ def wing_table(args):
             ppo_dir, "model_ppo",
             init_actor_critic(jax.random.PRNGKey(0), obs_dim, act_dim),
         )
-        tag = "PPO (500k)"
+        # label with the checkpoint's ACTUAL training budget
+        ts = None
+        cfg_path = os.path.join(ppo_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                ts = json.load(f).get("timesteps")
+        tag = f"PPO ({ts // 1000}k)" if ts else "PPO"
     elif args.train_ppo:
         reset_fn, step_fn, od, ad = rl_envs.make_wing_rl(dyn)
         ppo_params, _ = train_ppo(

@@ -43,6 +43,10 @@ def main():
     def persist(trial, agent, history, force=False):
         if not force and (trial + 1) % 10 != 0:
             return
+        # run_pets_cartpole's on_trial hook passes a bare rewards list;
+        # normalize so interrupted and completed runs share one schema
+        if isinstance(history, list):
+            history = {"rewards": history}
         with open(os.path.join(save_path, "pets_history.json"), "w") as f:
             json.dump(history, f)
         # ensemble checkpoint so eval tooling (compare_baselines) can
