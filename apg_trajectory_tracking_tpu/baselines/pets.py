@@ -715,3 +715,63 @@ def eval_pets_balance(agent, dyn_params, starts, max_steps=250, dt=0.05,
         "mean_stable": float(np.mean(steps_list)),
         "std_stable": float(np.std(steps_list)),
     }
+
+
+def eval_pets_quad_tracking(agent, dyn_params, references, ref_len,
+                            thresh_div=1.0, thresh_stable=1.0,
+                            max_steps=251, dt=0.1, seed=0):
+    """Track a batch of prepared reference trajectories with a trained quad
+    PETS agent under the head-to-head test protocol — the exact semantics of
+    ``quad_eval.follow_trajectories(test_time=True)``: start on the first
+    reference point, divergence measured against ref[i+1], break (freeze)
+    on divergence > thresh_div or attitude instability.
+
+    All episodes plan in lockstep (one vmapped CEM plan per control step,
+    like ``eval_pets_wing_waypoints``); the per-step planning context is the
+    same ``array_ref_window`` every neural row consumes. Returns a dict with
+    (n, max_steps) ``divergences``/``valid`` so ``metrics_from_rollout``
+    produces the identical metric columns as every other table row.
+    """
+    from apg_trajectory_tracking_tpu.dynamics.quad import (
+        quad_is_stable,
+        quad_step,
+    )
+    from apg_trajectory_tracking_tpu.trajectory.refs import array_ref_window
+
+    refs = jnp.asarray(references, jnp.float32)
+    n, T = refs.shape[0], refs.shape[1]
+    state0 = jnp.zeros((n, 12), jnp.float32).at[:, :3].set(refs[:, 0, :3])
+    v_plan = jax.vmap(agent.plan, in_axes=(None, 0, 0, 0, 0))
+
+    @jax.jit
+    def advance(model, keys, i, state, plan_mean, done):
+        ctx = jax.vmap(
+            lambda r: array_ref_window(r, i, agent.horizon)
+        )(refs)
+        actions, plan_mean = v_plan(model, keys, state, plan_mean, ctx)
+        new_state = quad_step(dyn_params, state, actions, dt)
+        stable = quad_is_stable(new_state, thresh_stable)
+        proj = refs[:, jnp.minimum(i + 1, T - 1), :3]
+        div = jnp.linalg.norm(proj - new_state[:, :3], axis=1)
+        diverged = jnp.logical_or(div > thresh_div, ~stable)
+        step_valid = jnp.logical_and(~done, i <= ref_len)
+        new_done = jnp.logical_or(done, diverged)
+        next_state = jnp.where(done[:, None], state, new_state)
+        return next_state, plan_mean, new_done, div, step_valid
+
+    key = jax.random.PRNGKey(seed)
+    state = state0
+    plan_mean = jnp.zeros((n, agent.horizon, agent.act_dim))
+    done = jnp.zeros(n, bool)
+    divs = np.zeros((n, max_steps), np.float32)
+    valid = np.zeros((n, max_steps), bool)
+    for i in range(max_steps):
+        key, k = jax.random.split(key)
+        state, plan_mean, done, div, step_valid = advance(
+            agent.model, jax.random.split(k, n), i, state, plan_mean, done,
+        )
+        divs[:, i] = np.asarray(div)
+        valid[:, i] = np.asarray(step_valid)
+        if bool(done.all()):
+            break
+    return {"divergences": divs, "valid": valid}

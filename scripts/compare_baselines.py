@@ -560,6 +560,52 @@ def main():
         print("PPO: no checkpoint at", args.ppo_dir,
               "(pass --train_ppo to train one)")
 
+    # PETS row: prefer a locally trained ensemble, then the shipped asset
+    # (train one with scripts/pets_baseline.py -r quad). The ensemble
+    # models the raw 12-dim dynamics, so a speed-0.2-trained agent (the
+    # reference's quad PETS setting, pets_baseline.py:38) plans on this
+    # table's trajectories directly — only the CEM reward context changes
+    pets_dir = next(
+        (d for d in ("trained_models/quad/pets_50",
+                     "trained_models/quad/pets", "assets/quad_pets")
+         if os.path.exists(os.path.join(d, "model_pets.npz"))), None,
+    )
+    if pets_dir is not None:
+        import jax.numpy as jnp
+
+        from apg_trajectory_tracking_tpu.baselines.pets import (
+            PETS,
+            eval_pets_quad_tracking,
+            make_quad_tracking_reward,
+        )
+        from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+        from apg_trajectory_tracking_tpu.evaluation.quad_eval import (
+            metrics_from_rollout,
+        )
+        from apg_trajectory_tracking_tpu.utils.checkpoints import (
+            load_checkpoint,
+        )
+
+        agent = PETS(
+            state_dim=12, act_dim=4,
+            reward_fn=make_quad_tracking_reward(),
+            act_low=0.0, act_high=1.0, horizon=10, seed=0,
+            population=150, n_elites=15, n_particles=5, n_iters=5,
+        )
+        agent.model = load_checkpoint(pets_dir, "model_pets", agent.model)
+        ref_len = references.shape[1] - horizon
+        roll = eval_pets_quad_tracking(
+            agent, quad_params(), jnp.asarray(references), ref_len,
+            thresh_div=thresh_div, thresh_stable=1.0, dt=dt,
+        )
+        rows["PETS"] = metrics_from_rollout(
+            roll["divergences"], roll["valid"], thresh_div, 251, ref_len,
+        )
+        print("PETS", json.dumps(rows["PETS"]))
+    else:
+        print("quad PETS: no saved ensemble "
+              "(train one with pets_baseline.py -r quad)")
+
     table = format_table(
         rows, QUAD_COLUMNS,
         title=f"Quadrotor tracking, {n} distinct test trajectories "

@@ -74,13 +74,22 @@ def test_param_sweep_structure():
     (evaluate_base.py:68-114)."""
     from apg_trajectory_tracking_tpu.evaluation.robustness import param_sweep
 
+    calls = []
+
     def fake_eval(modified):
-        return {"err": sum(modified.values()) if modified else 0.0}
+        calls.append(dict(modified))
+        return {"err": sum(modified.values()) if modified else 0.0,
+                "stable": 1.0}
 
     out = param_sweep(fake_eval, {"mass": 2.0, "drag": 0.5}, factors=(1.0, 1.5))
     assert set(out.keys()) == {"mass", "drag"}
     assert set(out["mass"].keys()) == {1.0, 1.5}
     assert out["mass"][1.5]["err"] == 3.0  # 2.0 * 1.5
+    # exactly ONE eval per (param, factor): every metric in a sweep entry
+    # comes from the same rollouts (the round-1 CLI drew fresh trajectories
+    # per metric column — err and stable from different test sets)
+    assert len(calls) == 4
+    assert out["drag"][1.5] == {"err": 0.75, "stable": 1.0}
 
 
 def test_plotting_smoke(tmp_path):

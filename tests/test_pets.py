@@ -138,3 +138,50 @@ def test_pets_quad_runner_smoke(tiny_bank):
     assert len(hist["rewards"]) == 2
     assert np.all(np.isfinite(hist["divergences"]))
     assert all(s >= 1 for s in hist["steps"])
+
+
+def test_eval_pets_quad_tracking_contract():
+    """The batched quad PETS tracking evaluator emits the (divs, valid)
+    contract of follow_trajectories(test_time=True): once an episode
+    diverges, every later step is invalid (frozen), and the metrics feed
+    metrics_from_rollout unchanged."""
+    from apg_trajectory_tracking_tpu.baselines.pets import (
+        PETS,
+        eval_pets_quad_tracking,
+        make_quad_tracking_reward,
+    )
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import (
+        metrics_from_rollout,
+    )
+
+    agent = PETS(
+        12, 4, make_quad_tracking_reward(), 0.0, 1.0, horizon=4, seed=0,
+        population=20, n_elites=4, n_particles=2, n_iters=2,
+    )
+    rng = np.random.RandomState(0)
+    for _ in range(8):
+        s = rng.randn(12).astype(np.float32)
+        agent.record(s, rng.rand(4), s + 0.01 * rng.randn(12))
+    agent.train_model(n_batches=2)
+
+    # two gentle reference trajectories starting at the origin
+    refs = np.zeros((2, 12, 9), np.float32)
+    refs[:, :, 2] = 3.0 + 0.01 * np.arange(12)
+    max_steps = 10
+    roll = eval_pets_quad_tracking(
+        agent, quad_params(), jnp.asarray(refs), ref_len=8,
+        thresh_div=1.0, max_steps=max_steps,
+    )
+    assert roll["divergences"].shape == (2, max_steps)
+    assert roll["valid"].shape == (2, max_steps)
+    # valid is a prefix mask: no step is valid after the first invalid one
+    for v in roll["valid"]:
+        if not v.all():
+            first_invalid = int(np.argmin(v))
+            assert not v[first_invalid:].any()
+    m = metrics_from_rollout(
+        roll["divergences"], roll["valid"], 1.0, max_steps, 8,
+    )
+    assert 0.0 <= m["ratio_stable"] <= 1.0
+    assert np.isfinite(m["mean_divergence"])
