@@ -29,7 +29,8 @@ QUAD_COLUMNS = (
 )
 
 
-def quad_references(data_dir, n_eval, dt, speed, seed=42):
+def quad_references(data_dir, n_eval, dt, speed, seed=42,
+                    bank_train=1000, bank_test=100):
     import numpy as np
 
     from apg_trajectory_tracking_tpu.trajectory.generate import (
@@ -38,7 +39,19 @@ def quad_references(data_dir, n_eval, dt, speed, seed=42):
         prepare_trajectory,
     )
 
-    bank = load_trajectory_bank(ensure_trajectory_bank(data_dir), test=True)
+    # generation is deterministic in (seed, n_train, n_test), so a fresh
+    # clone rebuilds the EXACT protocol bank (data/ is not in git); without
+    # explicit sizes ensure_trajectory_bank would default to the 200/20 CI
+    # bank and silently shrink "50 distinct" to 20
+    bank = load_trajectory_bank(
+        ensure_trajectory_bank(data_dir, n_train=bank_train,
+                               n_test=bank_test),
+        test=True,
+    )
+    if len(bank) < n_eval:
+        print(f"WARNING: test bank at {data_dir} has only {len(bank)} "
+              f"trajectories (< {n_eval}); the protocol will use all of "
+              "them — delete the bank to regenerate at full scale")
     rng = np.random.RandomState(seed)
     n = min(n_eval, len(bank))
     idx = rng.choice(len(bank), size=n, replace=False)  # DISTINCT trajs
