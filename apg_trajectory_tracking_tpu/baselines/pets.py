@@ -710,11 +710,17 @@ def eval_pets_balance(agent, dyn_params, starts, max_steps=250, dt=0.05,
             if abs(state[2]) >= thresh_div:
                 break
         steps_list.append(steps)
-    return {
+    from apg_trajectory_tracking_tpu.evaluation.stats import (
+        steps_balance_summary,
+    )
+
+    m = {
         "mean_vel": float(np.mean(vels)),
         "mean_stable": float(np.mean(steps_list)),
         "std_stable": float(np.std(steps_list)),
     }
+    m.update(steps_balance_summary(steps_list))
+    return m
 
 
 def eval_pets_quad_tracking(agent, dyn_params, references, ref_len,

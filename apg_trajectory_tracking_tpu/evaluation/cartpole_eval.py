@@ -86,12 +86,32 @@ def evaluate_balance(
         "std_vel": jnp.sqrt(jnp.maximum(var_vel, 0.0)),
         "mean_stable": jnp.mean(steps.astype(jnp.float32)),
         "std_stable": jnp.std(steps.astype(jnp.float32)),
+        # per-episode steps balanced, for host-side CIs (balance_metrics)
+        "steps_per_episode": steps,
     }
+
+
+def balance_metrics(raw):
+    """Host-side aggregate of an evaluate_balance return: floats plus
+    n + 95% CIs (bootstrap on mean steps balanced, Wilson on the ratio
+    of episodes that held the full window)."""
+    import numpy as np
+
+    from apg_trajectory_tracking_tpu.evaluation.stats import (
+        steps_balance_summary,
+    )
+
+    steps = np.asarray(raw["steps_per_episode"])
+    m = {k: float(v) for k, v in raw.items() if k != "steps_per_episode"}
+    m.update(steps_balance_summary(steps))
+    return m
 
 
 @partial(
     jax.jit,
-    static_argnames=("nr_iters", "horizon", "max_steps", "dt", "burn_in"),
+    static_argnames=(
+        "nr_iters", "horizon", "max_steps", "dt", "burn_in", "net_apply",
+    ),
 )
 def evaluate_swingup(
     net_params,
@@ -102,6 +122,7 @@ def evaluate_swingup(
     dt=0.05,
     horizon=10,
     burn_in=100,
+    net_apply=cartpole_net_apply,
 ):
     """Swing-up evaluation (evaluate_cartpole.py:264-318).
 
@@ -109,13 +130,14 @@ def evaluate_swingup(
     window. The reference's success check is one-sided (``theta > 1``,
     line 301) — we use |theta| > 1, which is strictly harder and symmetric.
     Also returns mean/std |velocity| post burn-in (the save-model score,
-    suc_up_down=-1).
+    suc_up_down=-1). ``net_apply(params, states) -> (n, horizon) actions``
+    swaps in other controller families (the head-to-head MPC row).
     """
     states = reset_swingup(key, nr_iters)
 
     def body(carry, i):
         state, upright_ok, vel_sum, vel_sq_sum = carry
-        actions = cartpole_net_apply(net_params, state)
+        actions = net_apply(net_params, state)
         a0 = actions.reshape(-1, horizon, 1)[:, 0]
         new_state = env_step(dyn_params, state, a0, dt)
         past_burn = i > burn_in
@@ -134,7 +156,7 @@ def evaluate_swingup(
         jnp.zeros(nr_iters),
         jnp.zeros(nr_iters),
     )
-    (_, success, vel_sum, vel_sq_sum), _ = jax.lax.scan(
+    (final_state, success, vel_sum, vel_sq_sum), _ = jax.lax.scan(
         body, init, jnp.arange(max_steps)
     )
     n = max_steps - burn_in - 1
@@ -143,4 +165,38 @@ def evaluate_swingup(
         "mean_vel": mean_vel,
         "std_vel": jnp.std(vel_sum / n),
         "success_rate": jnp.mean(success.astype(jnp.float32)),
+        # per-episode outcomes for host-side CIs (swingup_metrics)
+        "success_per_episode": success,
+        "final_angle_per_episode": jnp.abs(final_state[:, 2]),
+        "vel_per_episode": vel_sum / n,
+    }
+
+
+def swingup_metrics(net_params, dyn_params, key, nr_iters=10, max_steps=250,
+                    dt=0.05, horizon=10, burn_in=100,
+                    net_apply=cartpole_net_apply):
+    """Host-side swing-up head-to-head row: floats + n + 95% CIs (Wilson
+    on success_rate, bootstrap on mean post-burn-in |velocity|)."""
+    import numpy as np
+
+    from apg_trajectory_tracking_tpu.evaluation.stats import (
+        bootstrap_ci,
+        wilson_ci,
+    )
+
+    raw = evaluate_swingup(
+        net_params, dyn_params, key, nr_iters=nr_iters, max_steps=max_steps,
+        dt=dt, horizon=horizon, burn_in=burn_in, net_apply=net_apply,
+    )
+    success = np.asarray(raw["success_per_episode"])
+    vels = np.asarray(raw["vel_per_episode"])
+    angle = np.asarray(raw["final_angle_per_episode"])
+    n = int(success.size)
+    return {
+        "success_rate": float(success.mean()),
+        "success_rate_ci": list(wilson_ci(int(success.sum()), n)),
+        "mean_vel": float(vels.mean()),
+        "mean_vel_ci": list(bootstrap_ci(vels)),
+        "mean_final_angle": float(angle.mean()),
+        "n": n,
     }

@@ -111,25 +111,17 @@ def mpc_follow_trajectories(
 
 def tracking_metrics(roll, thresh_div, ref_len, max_steps=251):
     """The quad evaluator's aggregate metrics (evaluate_drone.py:237-300)
-    from a {divergences, valid} rollout dict."""
-    divs = np.asarray(roll["divergences"])
-    valid = np.asarray(roll["valid"])
-    n_steps = valid.sum(axis=1)
-    div_mean_per = np.where(
-        n_steps > 0, (divs * valid).sum(axis=1) / np.maximum(n_steps, 1), 0.0
+    from a {divergences, valid} rollout dict — delegates to
+    quad_eval.metrics_from_rollout so every table row (MPC included)
+    carries the same n + 95% CI fields."""
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import (
+        metrics_from_rollout,
     )
-    stable_counts = ((divs < thresh_div) & valid).sum(axis=1)
-    max_steps_stable = int(min(max_steps, ref_len + 1))
-    full = stable_counts == max_steps_stable
-    div_full = div_mean_per[full] if full.any() else div_mean_per
-    return {
-        "mean_divergence": float(div_mean_per.mean()),
-        "std_divergence": float(div_mean_per.std()),
-        "mean_divergence_full": float(div_full.mean()),
-        "std_divergence_full": float(div_full.std()),
-        "ratio_stable": float(full.mean()),
-        "mean_success": float(stable_counts.mean()),
-    }
+
+    return metrics_from_rollout(
+        np.asarray(roll["divergences"]), np.asarray(roll["valid"]),
+        thresh_div, max_steps, ref_len,
+    )
 
 
 def make_cartpole_mpc_apply(mpc):
@@ -218,11 +210,17 @@ def eval_cartpole_ppo_balance(params, dyn_params, starts, max_steps=250,
     steps, vel_sum, n_vel = run(params, env_states)
     steps = np.asarray(steps, dtype=float)
     mean_vel = float(np.asarray(vel_sum).sum() / max(np.asarray(n_vel).sum(), 1))
-    return {
+    from apg_trajectory_tracking_tpu.evaluation.stats import (
+        steps_balance_summary,
+    )
+
+    m = {
         "mean_vel": mean_vel,
         "mean_stable": float(steps.mean()),
         "std_stable": float(steps.std()),
     }
+    m.update(steps_balance_summary(steps))
+    return m
 
 
 def ppo_wing_net_apply(params, carry, normed, rel_ref):
@@ -364,28 +362,61 @@ def wing_point_metrics(roll, targets_n=None):
     per_ep = dsum / dcnt
     steps = np.asarray(roll["steps_alive"])[: len(per_ep)]
     passed = np.asarray(roll["passed"])[: len(per_ep)]
+
+    from apg_trajectory_tracking_tpu.evaluation.stats import (
+        bootstrap_ci,
+        wilson_ci,
+    )
+
+    n = int(len(per_ep))
     return {
         "mean_target_error": float(per_ep.mean()),
         "std_target_error": float(per_ep.std()),
         "pass_rate": float(passed.mean()),
         "mean_steps_alive": float(steps.mean()),
+        "n": n,
+        "pass_rate_ci": list(wilson_ci(int(passed.sum()), n)),
+        "mean_target_error_ci": list(bootstrap_ci(per_ep)),
     }
 
 
 def format_table(rows, columns, title=""):
-    """Markdown table from {name: metrics-dict} rows."""
+    """Markdown table from {name: metrics-dict} rows.
+
+    A column ``c`` whose row dict also carries ``f"{c}_ci"`` renders as
+    ``value [lo, hi]`` (95% CI); ratio-like columns render as percent.
+    If any row carries ``n``, an ``n`` column is appended so no ratio
+    ships without its episode count.
+    """
+    ratio_like = ("ratio_stable", "pass_rate", "ratio_full")
     lines = []
     if title:
         lines.append(f"### {title}")
         lines.append("")
-    header = "| controller | " + " | ".join(columns) + " |"
-    sep = "|" + "---|" * (len(columns) + 1)
+    has_n = any("n" in m for m in rows.values())
+    cols = list(columns) + (["n"] if has_n else [])
+    header = "| controller | " + " | ".join(cols) + " |"
+    sep = "|" + "---|" * (len(cols) + 1)
     lines.append(header)
     lines.append(sep)
     for name, m in rows.items():
         cells = []
         for c in columns:
             v = m.get(c)
-            cells.append("—" if v is None else f"{v:.3f}")
+            ci = m.get(f"{c}_ci")
+            if v is None:
+                cells.append("—")
+            elif ci is not None:
+                from apg_trajectory_tracking_tpu.evaluation.stats import (
+                    fmt_ci,
+                )
+
+                cells.append(fmt_ci(v, ci, pct=c in ratio_like))
+            elif c in ratio_like:
+                cells.append(f"{100 * v:.0f}%")
+            else:
+                cells.append(f"{v:.3f}")
+        if has_n:
+            cells.append(str(m.get("n", "—")))
         lines.append(f"| {name} | " + " | ".join(cells) + " |")
     return "\n".join(lines)

@@ -261,7 +261,16 @@ def metrics_from_rollout(divs, valid, thresh_div, max_steps, ref_len):
     """The reference's 6-tuple of eval metrics (evaluate_drone.py:237-300)
     from per-step divergence/valid masks — shared by the jitted evaluator
     above and the external-simulator host loop
-    (envs/external_sim.evaluate_external)."""
+    (envs/external_sim.evaluate_external). Beyond the reference's point
+    estimates, every aggregate carries the episode count and a 95% CI
+    (Wilson for ratio_stable, seeded bootstrap for mean divergence) —
+    at n = 20-100 episodes ratio_stable alone swings +/- 10-15 points
+    between draws, so tables must not ship the ratio bare."""
+    from apg_trajectory_tracking_tpu.evaluation.stats import (
+        bootstrap_ci,
+        wilson_ci,
+    )
+
     n_steps = valid.sum(axis=1)
     div_mean_per = np.where(
         n_steps > 0, (divs * valid).sum(axis=1) / np.maximum(n_steps, 1), 0.0
@@ -272,6 +281,7 @@ def metrics_from_rollout(divs, valid, thresh_div, max_steps, ref_len):
     ratio_stable = float(full.mean())
     div_full = div_mean_per[full] if full.any() else div_mean_per
 
+    n = int(len(div_mean_per))
     return {
         "mean_success": float(stable_counts.mean()),
         "std_success": float(stable_counts.std()),
@@ -280,4 +290,7 @@ def metrics_from_rollout(divs, valid, thresh_div, max_steps, ref_len):
         "mean_divergence": float(div_mean_per.mean()),
         "std_divergence": float(div_mean_per.std()),
         "ratio_stable": ratio_stable,
+        "n": n,
+        "ratio_stable_ci": list(wilson_ci(int(full.sum()), n)),
+        "mean_divergence_ci": list(bootstrap_ci(div_mean_per)),
     }

@@ -250,9 +250,13 @@ def run_eval(
     per_ep = np.asarray(roll["div_target_sum"]) / np.asarray(
         roll["div_target_cnt"]
     )
+    from apg_trajectory_tracking_tpu.evaluation.stats import bootstrap_ci
+
     metrics = {
         "mean_success": float(per_ep.mean()),
         "std_success": float(per_ep.std()),
         "mean_steps_alive": float(np.asarray(roll["steps_alive"]).mean()),
+        "n": int(per_ep.size),
+        "mean_success_ci": list(bootstrap_ci(per_ep)),
     }
     return metrics, roll, targets

@@ -169,7 +169,8 @@ class TrainCartpole:
                 self.net, self.eval_dyn, dt=self.dt, horizon=self.horizon,
                 thresh_div=0.21,
             )
-        res = {k_: float(v) for k_, v in res.items()}
+        res = {k_: float(v) for k_, v in res.items()
+               if not k_.endswith("_per_episode")}
         self.logger.log_dict(res)
         self.logger.log("mean_success", res["mean_vel"])
         self.logger.log("std_success", res["std_vel"])

@@ -299,11 +299,7 @@ def wing_table(args):
 
     # PETS row: prefer a locally trained ensemble, then the shipped asset
     # (train one with scripts/pets_baseline.py -r wing)
-    pets_dir = next(
-        (d for d in ("trained_models/wing/pets_50",
-                     "trained_models/wing/pets", "assets/wing_pets")
-         if os.path.exists(os.path.join(d, "model_pets.npz"))), None,
-    )
+    pets_dir = find_pets_dir("wing")
     if pets_dir is not None:
         from apg_trajectory_tracking_tpu.baselines.pets import (
             PETS,
@@ -321,8 +317,9 @@ def wing_table(args):
             agent, dyn, targets, thresh_div=thresh_div,
             thresh_stable=thresh_stable, max_steps=max_steps, dt=dt,
         )
-        rows["PETS"] = wing_point_metrics(roll, n)
-        print("PETS", json.dumps(rows["PETS"]))
+        tag = pets_tag(pets_dir)
+        rows[tag] = wing_point_metrics(roll, n)
+        print(tag, json.dumps(rows[tag]))
     else:
         print("wing PETS: no saved ensemble "
               "(train one with pets_baseline.py -r wing)")
@@ -333,6 +330,125 @@ WING_COLUMNS = (
     "mean_target_error", "std_target_error", "pass_rate",
     "mean_steps_alive",
 )
+
+
+def eval_pets_quad(pets_dir, references, horizon, thresh_div, dt=0.1):
+    """PETS row for the quad table: reload a trained ensemble and track the
+    protocol trajectories through the batched CEM evaluator (the reference
+    runs PETS on quad as a first-class baseline,
+    baselines/pets_baseline.py:34-44,256)."""
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.baselines.pets import (
+        PETS,
+        eval_pets_quad_tracking,
+        make_quad_tracking_reward,
+    )
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import (
+        metrics_from_rollout,
+    )
+    from apg_trajectory_tracking_tpu.utils.checkpoints import load_checkpoint
+
+    agent = PETS(
+        state_dim=12, act_dim=4,
+        reward_fn=make_quad_tracking_reward(),
+        act_low=0.0, act_high=1.0, horizon=10, seed=0,
+        population=150, n_elites=15, n_particles=5, n_iters=5,
+    )
+    agent.model = load_checkpoint(pets_dir, "model_pets", agent.model)
+    ref_len = references.shape[1] - horizon
+    roll = eval_pets_quad_tracking(
+        agent, quad_params(), jnp.asarray(references), ref_len,
+        thresh_div=thresh_div, thresh_stable=1.0, dt=dt,
+    )
+    return metrics_from_rollout(
+        roll["divergences"], roll["valid"], thresh_div, 251, ref_len,
+    )
+
+
+def find_pets_dir(robot):
+    """Locate a trained PETS ensemble for a system: prefer a locally
+    trained run (largest trial budget first), then the shipped asset."""
+    candidates = {
+        "quad": ("trained_models/quad/pets_200", "trained_models/quad/pets_50",
+                 "trained_models/quad/pets", "assets/quad_pets"),
+        "wing": ("trained_models/wing/pets_200", "trained_models/wing/pets_50",
+                 "trained_models/wing/pets", "assets/wing_pets"),
+        "cartpole": ("trained_models/cartpole/pets", "assets/cartpole_pets"),
+    }[robot]
+    return next(
+        (d for d in candidates
+         if os.path.exists(os.path.join(d, "model_pets.npz"))), None,
+    )
+
+
+def pets_tag(pets_dir):
+    """Row label carrying the ensemble's ACTUAL training budget."""
+    cfg_path = os.path.join(pets_dir, "config.json")
+    trials = None
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            trials = json.load(f).get("trials")
+    return f"PETS ({trials} trials)" if trials else "PETS"
+
+
+def quad_table(args):
+    """The quadrotor head-to-head: every controller family through the
+    same evaluator, metric, and test trajectories."""
+    dt, horizon, thresh_div = 0.1, 10, 1.0
+    references, n = quad_references(
+        args.data_dir, args.eval, dt, args.speed
+    )
+    print(f"protocol: {n} distinct test trajectories, speed {args.speed}, "
+          f"thresh_div {thresh_div}, test-time break")
+
+    rows = {}
+    for model_dir in args.apg:
+        name = "APG " + os.path.basename(model_dir.rstrip("/"))
+        rows[name] = eval_apg(model_dir, references, horizon, thresh_div)
+        print(name, json.dumps(rows[name]))
+    if not args.skip_mpc:
+        for name, solver, h, iters in (
+            ("MPC (adam)", "adam", 10, None),
+            ("MPC (ilqr)", "ilqr", 10, None),
+            # h=14 is the distillation teacher's horizon (DESIGN.md 7);
+            # h=20 shows the solver's true ceiling — the reference's own
+            # MPC runs h=10
+            ("MPC (adam, h=14)", "adam", 14, 100),
+            ("MPC (adam, h=20)", "adam", 20, 100),
+        ):
+            rows[name] = eval_mpc(
+                solver, references, dt, h, thresh_div, n_iters=iters
+            )
+            print(name, json.dumps(rows[name]))
+    if args.ppo_dir is None:
+        args.ppo_dir = next(
+            (d for d in ("trained_models/quad/ppo_compare",
+                         "assets/quad_ppo_2m")
+             if os.path.exists(os.path.join(d, "model_ppo.npz"))),
+            "trained_models/quad/ppo_compare",
+        )
+    ppo_metrics = eval_ppo(
+        args.ppo_dir, references, dt, horizon, thresh_div, args.speed,
+        train_if_missing=args.train_ppo, timesteps=args.timesteps,
+    )
+    if ppo_metrics is not None:
+        rows["PPO (2M)"] = ppo_metrics
+        print("PPO", json.dumps(ppo_metrics))
+    else:
+        print("PPO: no checkpoint at", args.ppo_dir,
+              "(pass --train_ppo to train one)")
+
+    pets_dir = find_pets_dir("quad")
+    if pets_dir is not None:
+        tag = pets_tag(pets_dir)
+        rows[tag] = eval_pets_quad(pets_dir, references, horizon, thresh_div)
+        print(tag, json.dumps(rows[tag]))
+    else:
+        print("quad PETS: no saved ensemble "
+              "(train one with pets_baseline.py -r quad)")
+    return rows, n
 
 
 def cartpole_table(args):
@@ -358,6 +474,7 @@ def cartpole_table(args):
     from apg_trajectory_tracking_tpu.dynamics.cartpole import cartpole_params
     from apg_trajectory_tracking_tpu.envs.cartpole_env import reset_upright
     from apg_trajectory_tracking_tpu.evaluation.cartpole_eval import (
+        balance_metrics,
         evaluate_balance,
     )
     from apg_trajectory_tracking_tpu.evaluation.compare import (
@@ -384,23 +501,25 @@ def cartpole_table(args):
             init_cartpole_net(jax.random.PRNGKey(0), 4, 10),
         )
         name = "APG " + os.path.basename(model_dir)
-        rows[name] = {
-            k: float(v)
-            for k, v in evaluate_balance(net, dyn, states=starts).items()
-        }
+        rows[name] = balance_metrics(
+            evaluate_balance(net, dyn, states=starts)
+        )
         print(name, json.dumps(rows[name]))
 
     mpc = MPC(horizon=10, dt=0.05, dynamics="cartpole")
-    rows["MPC (adam)"] = {
-        k: float(v)
-        for k, v in evaluate_balance(
-            None, dyn, states=starts,
-            net_apply=make_cartpole_mpc_apply(mpc),
-        ).items()
-    }
+    rows["MPC (adam)"] = balance_metrics(evaluate_balance(
+        None, dyn, states=starts,
+        net_apply=make_cartpole_mpc_apply(mpc),
+    ))
     print("MPC", json.dumps(rows["MPC (adam)"]))
 
-    ppo_dir = "trained_models/cartpole/ppo_compare"
+    # prefer a locally trained policy, then the shipped asset
+    ppo_dir = next(
+        (d for d in ("trained_models/cartpole/ppo_compare",
+                     "assets/cartpole_ppo_500k")
+         if os.path.exists(os.path.join(d, "model_ppo.npz"))),
+        "trained_models/cartpole/ppo_compare",
+    )
     obs_dim = 15
     if os.path.exists(os.path.join(ppo_dir, "model_ppo.npz")):
         ppo_params = load_checkpoint(
@@ -421,10 +540,7 @@ def cartpole_table(args):
     # prefer a locally trained ensemble, then the shipped one (the asset
     # behind docs/CARTPOLE_COMPARISON.md); retrain only as a last resort,
     # and save that run so the next invocation reloads it
-    pets_dir = next(
-        (d for d in ("trained_models/cartpole/pets", "assets/cartpole_pets")
-         if os.path.exists(os.path.join(d, "model_pets.npz"))), None,
-    )
+    pets_dir = find_pets_dir("cartpole")
     if pets_dir is not None:
         agent = PETS(
             state_dim=4, act_dim=1, reward_fn=cartpole_reward,
@@ -432,7 +548,7 @@ def cartpole_table(args):
             population=150, n_elites=15, n_particles=5, n_iters=5,
         )
         agent.model = load_checkpoint(pets_dir, "model_pets", agent.model)
-        tag = "PETS (saved)"
+        tag = pets_tag(pets_dir)
     else:
         agent, _ = run_pets_cartpole(
             trials=args.pets_trials, verbose=False
@@ -450,8 +566,9 @@ CARTPOLE_COLUMNS = ("mean_stable", "std_stable", "mean_vel")
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("-a", "--eval", type=int, default=50,
-                        help="number of distinct test trajectories")
+    parser.add_argument("-a", "--eval", type=int, default=100,
+                        help="number of distinct test trajectories "
+                             "(default: the FULL 100-file test bank)")
     parser.add_argument("--speed", type=float, default=0.4)
     parser.add_argument("--data_dir", default="data/traj_data_full",
                         help="bank with a >=--eval-file test split")
@@ -463,7 +580,9 @@ def main():
                                  "assets/quad_mpc_distilled",
                                  "assets/quad_mpc_distilled_h14",
                                  "assets/quad_mpc_distilled_stable",
-                                 "assets/quad_mpc_distilled_lstm"],
+                                 "assets/quad_mpc_distilled_lstm",
+                                 "assets/quad_mpc_distilled_lstm_h14",
+                                 "assets/reference_pretrained"],
                         help="neural checkpoints to include (the shipped "
                              "set behind docs/BASELINE_COMPARISON.md)")
     parser.add_argument(
@@ -480,7 +599,7 @@ def main():
     parser.add_argument("--cartpole", action="store_true",
                         help="also build the cartpole balance table "
                              "(APG vs MPC vs PPO vs PETS)")
-    parser.add_argument("--cartpole_eval", type=int, default=10)
+    parser.add_argument("--cartpole_eval", type=int, default=50)
     parser.add_argument("--wing", action="store_true",
                         help="also build the fixed-wing waypoint table "
                              "(APG vs MPC h=10/h=20 vs PPO)")
@@ -531,93 +650,7 @@ def main():
                 f.write(body + "\n")
         return
 
-    dt, horizon, thresh_div = 0.1, 10, 1.0
-    references, n = quad_references(
-        args.data_dir, args.eval, dt, args.speed
-    )
-    print(f"protocol: {n} distinct test trajectories, speed {args.speed}, "
-          f"thresh_div {thresh_div}, test-time break")
-
-    rows = {}
-    for model_dir in args.apg:
-        name = "APG " + os.path.basename(model_dir.rstrip("/"))
-        rows[name] = eval_apg(model_dir, references, horizon, thresh_div)
-        print(name, json.dumps(rows[name]))
-    if not args.skip_mpc:
-        for name, solver, h, iters in (
-            ("MPC (adam)", "adam", 10, None),
-            ("MPC (ilqr)", "ilqr", 10, None),
-            # the reference's own MPC runs h=10; h=20 shows the solver's
-            # true ceiling (horizon-limited, DESIGN.md section 7)
-            ("MPC (adam, h=20)", "adam", 20, 100),
-        ):
-            rows[name] = eval_mpc(
-                solver, references, dt, h, thresh_div, n_iters=iters
-            )
-            print(name, json.dumps(rows[name]))
-    if args.ppo_dir is None:
-        args.ppo_dir = next(
-            (d for d in ("trained_models/quad/ppo_compare",
-                         "assets/quad_ppo_2m")
-             if os.path.exists(os.path.join(d, "model_ppo.npz"))),
-            "trained_models/quad/ppo_compare",
-        )
-    ppo_metrics = eval_ppo(
-        args.ppo_dir, references, dt, horizon, thresh_div, args.speed,
-        train_if_missing=args.train_ppo, timesteps=args.timesteps,
-    )
-    if ppo_metrics is not None:
-        rows["PPO"] = ppo_metrics
-        print("PPO", json.dumps(ppo_metrics))
-    else:
-        print("PPO: no checkpoint at", args.ppo_dir,
-              "(pass --train_ppo to train one)")
-
-    # PETS row: prefer a locally trained ensemble, then the shipped asset
-    # (train one with scripts/pets_baseline.py -r quad). The ensemble
-    # models the raw 12-dim dynamics, so a speed-0.2-trained agent (the
-    # reference's quad PETS setting, pets_baseline.py:38) plans on this
-    # table's trajectories directly — only the CEM reward context changes
-    pets_dir = next(
-        (d for d in ("trained_models/quad/pets_50",
-                     "trained_models/quad/pets", "assets/quad_pets")
-         if os.path.exists(os.path.join(d, "model_pets.npz"))), None,
-    )
-    if pets_dir is not None:
-        import jax.numpy as jnp
-
-        from apg_trajectory_tracking_tpu.baselines.pets import (
-            PETS,
-            eval_pets_quad_tracking,
-            make_quad_tracking_reward,
-        )
-        from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
-        from apg_trajectory_tracking_tpu.evaluation.quad_eval import (
-            metrics_from_rollout,
-        )
-        from apg_trajectory_tracking_tpu.utils.checkpoints import (
-            load_checkpoint,
-        )
-
-        agent = PETS(
-            state_dim=12, act_dim=4,
-            reward_fn=make_quad_tracking_reward(),
-            act_low=0.0, act_high=1.0, horizon=10, seed=0,
-            population=150, n_elites=15, n_particles=5, n_iters=5,
-        )
-        agent.model = load_checkpoint(pets_dir, "model_pets", agent.model)
-        ref_len = references.shape[1] - horizon
-        roll = eval_pets_quad_tracking(
-            agent, quad_params(), jnp.asarray(references), ref_len,
-            thresh_div=thresh_div, thresh_stable=1.0, dt=dt,
-        )
-        rows["PETS"] = metrics_from_rollout(
-            roll["divergences"], roll["valid"], thresh_div, 251, ref_len,
-        )
-        print("PETS", json.dumps(rows["PETS"]))
-    else:
-        print("quad PETS: no saved ensemble "
-              "(train one with pets_baseline.py -r quad)")
+    rows, n = quad_table(args)
 
     table = format_table(
         rows, QUAD_COLUMNS,

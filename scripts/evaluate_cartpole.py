@@ -58,7 +58,6 @@ def main():
     )
     from apg_trajectory_tracking_tpu.evaluation.cartpole_eval import (
         evaluate_balance,
-        evaluate_swingup,
     )
     from apg_trajectory_tracking_tpu.evaluation.robustness import param_sweep
 
@@ -137,17 +136,20 @@ def main():
         print(f"live replay: {n} frames")
 
     def eval_with(modified_params):
+        from apg_trajectory_tracking_tpu.evaluation.cartpole_eval import (
+            balance_metrics,
+            swingup_metrics,
+        )
+
         dyn = cartpole_params(modified_params)
         if args.swingup:
-            res = evaluate_swingup(
+            return swingup_metrics(
                 net, dyn, jax.random.PRNGKey(42), nr_iters=args.eval,
                 dt=dt, horizon=horizon,
             )
-        else:
-            res = evaluate_balance(
-                net, dyn, nr_iters=args.eval, dt=dt, horizon=horizon
-            )
-        return {k: float(v) for k, v in res.items()}
+        return balance_metrics(evaluate_balance(
+            net, dyn, nr_iters=args.eval, dt=dt, horizon=horizon
+        ))
 
     if args.sweep:
         keys = {

@@ -1,0 +1,494 @@
+#!/usr/bin/env python
+"""Regenerate EVERY published head-to-head table from one command.
+
+    python scripts/make_tables.py            # all sections, full protocol
+    python scripts/make_tables.py --sections quad,wide
+    python scripts/make_tables.py --quick    # tiny smoke (CI)
+
+Round-2 verdict: the tables in README/docs had drifted from the newest
+artifacts because each was regenerated ad hoc at a different commit. This
+script is the single source of truth — it runs the full evaluation
+protocols and rewrites, atomically and from the same run:
+
+  * docs/BASELINE_COMPARISON.md   quad head-to-head, FULL 100-traj bank
+  * docs/CARTPOLE_COMPARISON.md   balance + swing-up head-to-heads
+  * docs/WING_COMPARISON.md       wing waypoint head-to-head
+  * docs/wide_protocol_500.json   500-traj independent wide protocol
+  * docs/wall_protocol.json       speed-0.5 feasibility-wall protocol
+  * docs/all_results.json         every row of every section, one file
+  * docs/tables_manifest.json     protocols + provenance (git commit)
+  * README.md                     tables between BEGIN/END GENERATED markers
+
+Every row carries n and 95% CIs (Wilson on ratios, bootstrap on means —
+evaluation/stats.py); the protocols are pinned in the manifest and in
+tests/test_protocol.py. Reference protocol counterparts:
+evaluate_drone.py:237-300 (quad), evaluate_cartpole.py:79-318 (cartpole),
+evaluate_fixed_wing.py:132-178 (wing), pets_baseline.py:64 (PETS budget).
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+from types import SimpleNamespace
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the models of the wide + wall protocols (all shipped quad controllers
+# that track speed-0.4 polynomial references)
+WIDE_MODELS = [
+    "assets/quad_mpc_distilled_h14",
+    "assets/quad_mpc_distilled_lstm_h14",
+    "assets/quad_mpc_distilled",
+    "assets/quad_mpc_distilled_stable",
+    "assets/quad_mpc_distilled_lstm",
+    "assets/quad_ar_trained_9k",
+    "assets/quad_trained_9k",
+    "assets/quad_ar_trained",
+    "assets/quad_lstm_trained_9k",
+    "assets/quad_minjerk_trained",
+    "assets/quad_stable_trained",
+    "assets/quad_trained",
+    "assets/reference_pretrained",
+]
+WALL_MODELS = [
+    "assets/quad_mpc_distilled_s05_h14",
+    "assets/quad_mpc_distilled_s05",
+    "assets/quad_mpc_distilled_h14",
+    "assets/quad_trained_9k",
+]
+
+
+def git_commit():
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, text=True
+        ).strip()
+    except Exception:
+        return "unknown"
+
+
+def wide_references(n_eval, dt=0.1, speed=0.4, seed=42,
+                    data_dir="data/traj_data_ref"):
+    """The independent wide-protocol draw: ``n_eval`` distinct test
+    trajectories from the reference-scale 9000/1000 bank (seed-0
+    generation; none seen by training, distillation, or model selection).
+    """
+    import numpy as np
+
+    from apg_trajectory_tracking_tpu.trajectory.generate import (
+        ensure_trajectory_bank,
+        load_trajectory_bank,
+        prepare_trajectory,
+    )
+
+    bank = load_trajectory_bank(
+        ensure_trajectory_bank(data_dir, n_train=9000, n_test=1000),
+        test=True,
+    )
+    rng = np.random.RandomState(seed)
+    n = min(n_eval, len(bank))
+    idx = rng.choice(len(bank), size=n, replace=False)
+    refs = np.stack([prepare_trajectory(bank[i], dt, speed) for i in idx])
+    refs[:, :, 2] += 3.0
+    return refs, n
+
+
+def wide_section(args):
+    import compare_baselines as cb
+
+    refs, n = wide_references(args.wide_eval, speed=0.4)
+    rows = {}
+    for model_dir in WIDE_MODELS:
+        if not os.path.exists(os.path.join(model_dir, "config.json")):
+            print("wide: skipping missing", model_dir)
+            continue
+        name = os.path.basename(model_dir)
+        rows[name] = cb.eval_apg(model_dir, refs, 10, 1.0)
+        print("wide", name, json.dumps(rows[name]))
+    return {
+        "protocol": (
+            f"{n} distinct test trajectories from the independent "
+            "9000/1000 bank (data/traj_data_ref, generation seed 0, draw "
+            "seed 42), speed 0.4, thresh_div 1.0, test-time break; 95% "
+            "CIs: Wilson (ratio_stable), bootstrap (mean_divergence)"
+        ),
+        "n": n,
+        "results": rows,
+    }
+
+
+def wall_section(args):
+    """Speed-0.5 feasibility wall: the specialists + champions + the h=20
+    MPC teacher on independent wide-bank trajectories at speed 0.5."""
+    import compare_baselines as cb
+
+    refs, n = wide_references(args.wall_eval, speed=0.5)
+    rows = {}
+    for model_dir in WALL_MODELS:
+        if not os.path.exists(os.path.join(model_dir, "config.json")):
+            print("wall: skipping missing", model_dir)
+            continue
+        name = os.path.basename(model_dir)
+        rows[name] = cb.eval_apg(model_dir, refs, 10, 1.0)
+        print("wall", name, json.dumps(rows[name]))
+    if not args.skip_mpc:
+        rows["MPC (adam, h=20)"] = cb.eval_mpc(
+            "adam", refs, 0.1, 20, 1.0, n_iters=100
+        )
+        print("wall MPC", json.dumps(rows["MPC (adam, h=20)"]))
+    return {
+        "protocol": (
+            f"{n} distinct test trajectories from the independent "
+            "9000/1000 bank (data/traj_data_ref, generation seed 0, draw "
+            "seed 42), speed 0.5 (the feasibility wall, DESIGN.md 8), "
+            "thresh_div 1.0, test-time break"
+        ),
+        "n": n,
+        "results": rows,
+    }
+
+
+SPEED_MODELS = [
+    "assets/quad_trained_9k",
+    "assets/quad_trained",
+    "assets/quad_mpc_distilled",
+    "assets/quad_mpc_distilled_h14",
+    "assets/quad_mpc_distilled_lstm",
+    "assets/quad_mpc_distilled_s05",
+]
+SPEEDS = (0.2, 0.3, 0.4, 0.5)
+
+
+def speeds_section(args):
+    """Error/stability vs speed factor on independent wide-bank
+    trajectories (the curriculum's terminal speeds + the 0.5 wall)."""
+    import compare_baselines as cb
+
+    results = {}
+    for speed in SPEEDS:
+        refs, n = wide_references(args.speed_eval, speed=speed)
+        results[str(speed)] = {}
+        for model_dir in SPEED_MODELS:
+            if not os.path.exists(os.path.join(model_dir, "config.json")):
+                continue
+            name = os.path.basename(model_dir)
+            results[str(speed)][name] = cb.eval_apg(model_dir, refs, 10, 1.0)
+            m = results[str(speed)][name]
+            print(f"speed {speed} {name} {m['mean_divergence']:.3f} "
+                  f"/ {m['ratio_stable']:.2f}")
+    return {
+        "protocol": (
+            f"{args.speed_eval} distinct wide-bank test trajectories per "
+            "speed (data/traj_data_ref, draw seed 42), thresh_div 1.0, "
+            "test-time break; cells are mean_divergence / ratio_stable "
+            "(full CI fields in the JSON)"
+        ),
+        "n": args.speed_eval,
+        "results": results,
+    }
+
+
+def speed_matrix_table(sec):
+    """README matrix: rows = models, columns = speed factors."""
+    results = sec["results"]
+    models = []
+    for per_speed in results.values():
+        for name in per_speed:
+            if name not in models:
+                models.append(name)
+    speeds = list(results.keys())
+    lines = ["| model (err / stable) | " + " | ".join(speeds) + " |",
+             "|" + "---|" * (len(speeds) + 1)]
+    for name in models:
+        cells = []
+        for s in speeds:
+            m = results[s].get(name)
+            cells.append(
+                "—" if m is None
+                else f"{m['mean_divergence']:.3f} / "
+                     f"{100 * m['ratio_stable']:.0f}%"
+            )
+        lines.append(f"| `{name}` | " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
+def swingup_section(args):
+    """Cartpole swing-up head-to-head (the reference's second cartpole
+    protocol, evaluate_cartpole.py:264-318): success = upright and slow at
+    the end of the episode, from hanging starts."""
+    import jax
+
+    from apg_trajectory_tracking_tpu.dynamics.cartpole import cartpole_params
+    from apg_trajectory_tracking_tpu.evaluation.cartpole_eval import (
+        swingup_metrics,
+    )
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    dyn = cartpole_params()
+    n = args.swingup_eval
+    key = jax.random.PRNGKey(42)
+    rows = {}
+    for model_dir, label in (
+        ("assets/cartpole_swingup_trained", None),
+        ("assets/cartpole_trained", None),
+        ("assets/cartpole_balance_trained", None),
+    ):
+        if not os.path.exists(os.path.join(model_dir, "config.json")):
+            continue
+        from apg_trajectory_tracking_tpu.models import init_cartpole_net
+        from apg_trajectory_tracking_tpu.utils.checkpoints import (
+            load_checkpoint,
+        )
+
+        net = load_checkpoint(
+            model_dir, "model_cartpole",
+            init_cartpole_net(jax.random.PRNGKey(0), 4, 10),
+        )
+        name = label or ("APG " + os.path.basename(model_dir))
+        rows[name] = swingup_metrics(net, dyn, key, nr_iters=n)
+        print("swingup", name, json.dumps(rows[name]))
+    # MPC swing-up with the long horizon it needs to find the pump-up
+    from apg_trajectory_tracking_tpu.controllers.mpc import MPC
+    from apg_trajectory_tracking_tpu.evaluation.compare import (
+        make_cartpole_mpc_apply,
+    )
+
+    if not args.skip_mpc:
+        mpc = MPC(horizon=30, dt=0.05, dynamics="cartpole", n_iters=100)
+        rows["MPC (adam, h=30)"] = swingup_metrics(
+            None, dyn, key, nr_iters=n,
+            net_apply=make_cartpole_mpc_apply(mpc), horizon=30,
+        )
+        print("swingup MPC", json.dumps(rows["MPC (adam, h=30)"]))
+    return rows, n
+
+
+SWINGUP_COLUMNS = ("success_rate", "mean_final_angle", "mean_vel")
+
+
+def replace_block(text, name, new_body):
+    """Replace the README block between BEGIN/END GENERATED markers."""
+    begin = f"<!-- BEGIN GENERATED: {name} -->"
+    end = f"<!-- END GENERATED: {name} -->"
+    pattern = re.compile(
+        re.escape(begin) + r".*?" + re.escape(end), re.DOTALL
+    )
+    if not pattern.search(text):
+        print(f"README marker '{name}' not found — skipping")
+        return text
+    return pattern.sub(begin + "\n" + new_body + "\n" + end, text)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--sections", default="quad,wide,wall,speeds,cartpole,wing",
+        help="comma list of quad,wide,wall,speeds,cartpole,wing")
+    parser.add_argument("--quick", action="store_true",
+                        help="tiny protocol smoke run (CI); writes to "
+                             "--out_dir only, never README/docs")
+    parser.add_argument("--out_dir", default="docs")
+    parser.add_argument("--skip_mpc", action="store_true")
+    parser.add_argument("--skip_readme", action="store_true")
+    parser.add_argument("--eval", type=int, default=100)
+    parser.add_argument("--wide_eval", type=int, default=500)
+    parser.add_argument("--wall_eval", type=int, default=100)
+    parser.add_argument("--speed_eval", type=int, default=50)
+    parser.add_argument("--cartpole_eval", type=int, default=50)
+    parser.add_argument("--swingup_eval", type=int, default=50)
+    parser.add_argument("--wing_eval", type=int, default=40)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        from apg_trajectory_tracking_tpu.utils.backend import (
+            force_cpu_backend,
+        )
+
+        force_cpu_backend()
+
+    if args.quick:
+        args.eval, args.wide_eval, args.wall_eval = 3, 4, 3
+        args.cartpole_eval = args.swingup_eval = 3
+        args.wing_eval = 3
+        args.speed_eval = 2
+        args.skip_readme = True
+
+    sections = [s.strip() for s in args.sections.split(",") if s.strip()]
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    import compare_baselines as cb
+    from apg_trajectory_tracking_tpu.evaluation.compare import format_table
+
+    cb_args = SimpleNamespace(
+        eval=args.eval, speed=0.4, data_dir="data/traj_data_full",
+        apg=[d for d in (
+            "assets/quad_trained",
+            "assets/quad_trained_9k",
+            "assets/quad_ar_trained_9k",
+            "assets/quad_minjerk_trained",
+            "assets/quad_mpc_distilled",
+            "assets/quad_mpc_distilled_h14",
+            "assets/quad_mpc_distilled_stable",
+            "assets/quad_mpc_distilled_lstm",
+            "assets/quad_mpc_distilled_lstm_h14",
+            "assets/reference_pretrained",
+        ) if os.path.exists(os.path.join(d, "config.json"))],
+        ppo_dir=None, train_ppo=False, timesteps=2_000_000,
+        skip_mpc=args.skip_mpc, skip_quad=False,
+        cartpole_eval=args.cartpole_eval, pets_trials=200,
+        wing_eval=args.wing_eval, wing_timesteps=500_000,
+        train_ppo_wing=False,
+    )
+
+    all_results = {}
+    manifest = {
+        "command": "python scripts/make_tables.py --sections "
+                   + ",".join(sections),
+        "git_commit": git_commit(),
+        "quick": args.quick,
+        "sections": {},
+    }
+    readme_blocks = {}
+
+    if "quad" in sections:
+        rows, n = cb.quad_table(cb_args)
+        title = (f"Quadrotor tracking, the FULL {n}-trajectory test bank "
+                 "(speed 0.4, thresh_div 1.0, test-time break)")
+        table = format_table(rows, cb.QUAD_COLUMNS, title=title)
+        body = (table + "\n\nProtocol: `python scripts/make_tables.py "
+                "--sections quad` — every controller family through the "
+                "same evaluator and trajectories; 95% CIs (Wilson on "
+                "ratio_stable, bootstrap on mean divergence).\n\n"
+                "```json\n" + json.dumps(rows, indent=1) + "\n```")
+        with open(os.path.join(args.out_dir, "BASELINE_COMPARISON.md"),
+                  "w") as f:
+            f.write("# Quadrotor baseline head-to-head\n\n" + body + "\n")
+        all_results["quad_100"] = {"n": n, "results": rows}
+        manifest["sections"]["quad"] = {
+            "n": n, "artifact": "docs/BASELINE_COMPARISON.md",
+            "protocol": "full 100-file test bank of the deterministic "
+                        "1000/100 bank (data/traj_data_full, seed 0), "
+                        "speed 0.4, thresh_div 1.0, test-time break",
+        }
+        readme_blocks["quad_table"] = format_table(rows, cb.QUAD_COLUMNS)
+
+    if "wide" in sections:
+        sec = wide_section(args)
+        with open(os.path.join(args.out_dir, "wide_protocol_500.json"),
+                  "w") as f:
+            json.dump(sec, f, indent=1)
+        all_results["wide_500"] = sec
+        manifest["sections"]["wide"] = {
+            "n": sec["n"], "artifact": "docs/wide_protocol_500.json",
+            "protocol": sec["protocol"],
+        }
+        wide_cols = ("mean_divergence", "ratio_stable")
+        readme_blocks["wide_table"] = format_table(
+            sec["results"], wide_cols,
+        )
+
+    if "wall" in sections:
+        sec = wall_section(args)
+        with open(os.path.join(args.out_dir, "wall_protocol.json"),
+                  "w") as f:
+            json.dump(sec, f, indent=1)
+        all_results["wall_100"] = sec
+        manifest["sections"]["wall"] = {
+            "n": sec["n"], "artifact": "docs/wall_protocol.json",
+            "protocol": sec["protocol"],
+        }
+        readme_blocks["wall_table"] = format_table(
+            sec["results"], ("mean_divergence", "ratio_stable"),
+        )
+
+    if "speeds" in sections:
+        sec = speeds_section(args)
+        with open(os.path.join(args.out_dir, "speed_sweep.json"), "w") as f:
+            json.dump(sec, f, indent=1)
+        all_results["speed_sweep"] = sec
+        manifest["sections"]["speeds"] = {
+            "n": sec["n"], "artifact": "docs/speed_sweep.json",
+            "protocol": sec["protocol"],
+        }
+        readme_blocks["speed_table"] = speed_matrix_table(sec)
+
+    if "cartpole" in sections:
+        rows, n = cb.cartpole_table(cb_args)
+        su_rows, su_n = swingup_section(args)
+        bal_title = (f"Cartpole balance, {n} shared near-upright starts "
+                     "(max 250 steps)")
+        su_title = (f"Cartpole swing-up, {su_n} hanging starts "
+                    "(success = upright and slow after the swing, "
+                    "evaluate_cartpole.py:264-318)")
+        bal_table = format_table(rows, cb.CARTPOLE_COLUMNS, title=bal_title)
+        su_table = format_table(su_rows, SWINGUP_COLUMNS, title=su_title)
+        with open(os.path.join(args.out_dir, "CARTPOLE_COMPARISON.md"),
+                  "w") as f:
+            f.write("# Cartpole head-to-head\n\n" + bal_table
+                    + "\n\n```json\n" + json.dumps(rows, indent=1)
+                    + "\n```\n\n" + su_table + "\n\n```json\n"
+                    + json.dumps(su_rows, indent=1) + "\n```\n")
+        all_results["cartpole_balance"] = {"n": n, "results": rows}
+        all_results["cartpole_swingup"] = {"n": su_n, "results": su_rows}
+        manifest["sections"]["cartpole"] = {
+            "n": n, "swingup_n": su_n,
+            "artifact": "docs/CARTPOLE_COMPARISON.md",
+            "protocol": "shared near-upright starts (seed 7) / hanging "
+                        "swing-up starts (seed 42), dt 0.05",
+        }
+        readme_blocks["cartpole_table"] = format_table(
+            rows, cb.CARTPOLE_COLUMNS)
+        readme_blocks["swingup_table"] = format_table(
+            su_rows, SWINGUP_COLUMNS)
+
+    if "wing" in sections:
+        rows, n = cb.wing_table(cb_args)
+        title = (f"Fixed-wing waypoint, {n} shared targets (x = 50 m, "
+                 "y/z ~ U(-5, 5), max 1000 steps)")
+        table = format_table(rows, cb.WING_COLUMNS, title=title)
+        with open(os.path.join(args.out_dir, "WING_COMPARISON.md"),
+                  "w") as f:
+            f.write("# Fixed-wing baseline head-to-head\n\n" + table
+                    + "\n\nThe h=10 MPC row is horizon geometry, not a "
+                    "solver failure: 10 steps x dt 0.05 x ~11.5 m/s sees "
+                    "only ~5.75 m of a 50 m intercept, so the plan "
+                    "cannot trade altitude for the target until late — "
+                    "the h=20 row (which plans through the intercept) is "
+                    "the solver's true ceiling.\n\n```json\n"
+                    + json.dumps(rows, indent=1) + "\n```\n")
+        all_results["wing_waypoint"] = {"n": n, "results": rows}
+        manifest["sections"]["wing"] = {
+            "n": n, "artifact": "docs/WING_COMPARISON.md",
+            "protocol": "shared targets x=50m, y/z ~ U(-5,5) (seed 42), "
+                        "thresh_div 10, max 1000 steps, dt 0.05",
+        }
+        readme_blocks["wing_table"] = format_table(rows, cb.WING_COLUMNS)
+
+    with open(os.path.join(args.out_dir, "all_results.json"), "w") as f:
+        json.dump(all_results, f, indent=1)
+    with open(os.path.join(args.out_dir, "tables_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    print("wrote", os.path.join(args.out_dir, "all_results.json"))
+
+    if not args.skip_readme and readme_blocks:
+        readme = os.path.join(REPO, "README.md")
+        with open(readme) as f:
+            text = f.read()
+        for name, body in readme_blocks.items():
+            text = replace_block(text, name, body)
+        with open(readme, "w") as f:
+            f.write(text)
+        print("README.md generated blocks updated:",
+              ", ".join(readme_blocks))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,7 +109,9 @@ def test_wing_ppo_adapter_through_wing_evaluator():
     )
     m = wing_point_metrics(roll, 2)
     assert set(m) == {"mean_target_error", "std_target_error",
-                      "pass_rate", "mean_steps_alive"}
+                      "pass_rate", "mean_steps_alive",
+                      "n", "pass_rate_ci", "mean_target_error_ci"}
+    assert m["n"] == 2
     assert np.isfinite(m["mean_target_error"])
     # the wing env consumes raw [0, 1] actions — no tanh rescale
     x = jnp.asarray([-2.0, 0.0, 0.25, 1.0, 3.0])
