@@ -157,6 +157,73 @@ def quad_step(params: QuadParams, state, action, dt):
     )
 
 
+def quad_step_fast(params: QuadParams, state, action, dt):
+    """Algebraically pre-combined ``quad_step`` — same model, shorter
+    dependent elementwise chain (the VPU-issue-bound resource at the
+    headline batch, DESIGN.md 2).
+
+    Identical math to :func:`quad_step` with the constant chains folded:
+
+      * the rate loop's ``J * Kinv * (cmd - av) / J`` multiply-then-divide
+        cancels to ``Kinv * (cmd - av)`` (the torch reference computes the
+        torque then divides it back out, quad_dynamics_flightmare.py:
+        100-117 + 156-160 — J cancels exactly);
+      * ``dt`` folds into the rate gain: ``new_av = av + (dt*Kinv) *
+        (cmd - av) + dt*rot_drag/J`` — two fewer dependent ops;
+      * the thrust force's ``mass * thrust ... / mass`` cancels to
+        ``thrust`` (linear_dynamics, lines 74-93 — mass cancels exactly);
+      * gravity + translational drag pre-sum into one constant vector.
+
+    Deviation from quad_step is float-roundoff only (~1 ulp per step; the
+    a*x/a chains are not value-changing algebra). Parity tests pin
+    quad_step bit-exactly against the reference; this variant is the
+    throughput path and is pinned to quad_step within 1e-5.
+    """
+    position = state[..., 0:3]
+    attitude = state[..., 3:6]
+    velocity = state[..., 6:9]
+    av = state[..., 9:12]
+
+    total_thrust = action[..., 0] * 15.0 + 2.31  # = *15 - 7.5 + 9.81
+    body_rates = action[..., 1:4] - 0.5
+
+    # params-only constants: folded once per step call, hoisted out of any
+    # surrounding scan by XLA loop-invariant code motion
+    dt_kinv = dt * params.kinv_ang_vel_tau
+    dt_drag_over_J = dt * params.rotational_drag / params.inertia
+    g_plus_drag = params.gravity + params.translational_drag
+
+    new_av = av + dt_kinv * (body_rates - av) + dt_drag_over_J
+
+    roll, pitch, yaw = attitude[..., 0], attitude[..., 1], attitude[..., 2]
+    Cy, Sy = jnp.cos(yaw), jnp.sin(yaw)
+    Cp, Sp = jnp.cos(pitch), jnp.sin(pitch)
+    Cr, Sr = jnp.cos(roll), jnp.sin(roll)
+    acc = jnp.stack([
+        (Cy * Sp * Cr + Sr * Sy) * total_thrust,
+        (Cr * Sy * Sp - Cy * Sr) * total_thrust,
+        (Cr * Cp) * total_thrust,
+    ], axis=-1) + g_plus_drag
+
+    new_position = (
+        position + (0.5 * dt * dt) * acc + (0.5 * dt) * velocity
+    )
+    new_velocity = velocity + dt * acc
+
+    # euler_rate inline, sharing the trig above (XLA would CSE anyway;
+    # inlining keeps the whole step one fusion candidate)
+    p, q, r = av[..., 0], av[..., 1], av[..., 2]
+    new_attitude = attitude + dt * jnp.stack([
+        p - Sp * r,
+        Cr * q + Cp * Sr * r,
+        -Sr * q + Cp * Cr * r,
+    ], axis=-1)
+
+    return jnp.concatenate(
+        [new_position, new_attitude, new_velocity, new_av], axis=-1
+    )
+
+
 def quad_step_simple(params: QuadParams, state, action, dt):
     """One step of the simplified quad model.
 

@@ -8,14 +8,14 @@ Measures the full concurrent training step (featurize -> controller MLP ->
 Besides wall-clock, the line carries the roofline story (VERDICT r1 #3):
 per-step FLOPs and HBM bytes from XLA's compiled cost analysis, MFU against
 the chip's bf16 peak (the standard MFU convention; the step math is fp32),
-HBM bandwidth utilization against peak, and the regime the step sits in —
+nominal bytes-accessed utilization against peak BW, and the regime —
 at batch 4096 / 16k / 64k. Arithmetic intensity sits ~50x below the
 chip's ridge point, so the MXU is irrelevant and batch scaling is the
 lever. Caveats established by experiment (DESIGN.md section 2): XLA's
 bytes-accessed is an upper bound on true DRAM traffic — at 64k the
 counter reads ~100% of peak BW, yet halving bytes (bf16) leaves
 wall-clock flat, so the actual 64k ceiling is VPU issue rate on the
-12-wide elementwise chains. Treat hbm_bw_util as nominal.
+12-wide elementwise chains. The field is named nominal_bytes_util accordingly.
 
 vs_baseline compares against the reference PyTorch implementation's
 training throughput measured on this container's CPU at the SAME batch size
@@ -144,7 +144,12 @@ def roofline_entry(dt, flops, hbm_bytes, peak_flops, peak_bw, batch):
     if flops is not None and peak_flops is not None:
         ridge = peak_flops / peak_bw
         entry["mfu"] = round(flops / dt / peak_flops, 5)
-        entry["hbm_bw_util"] = round(hbm_bytes / dt / peak_bw, 4)
+        # NOMINAL: XLA's bytes-accessed counter is an upper bound on true
+        # DRAM traffic (re-fused reads count twice), so this can exceed
+        # 1.0 — it is a fusion-accounting figure, not physical BW. The
+        # bf16/remat experiments (DESIGN.md 2) falsified DRAM-boundness
+        # at the batch where it reads ~1.0.
+        entry["nominal_bytes_util"] = round(hbm_bytes / dt / peak_bw, 4)
         entry["regime"] = (
             "memory-bound" if flops / hbm_bytes < ridge else "compute-bound"
         )
@@ -196,7 +201,20 @@ def main():
         "peak_bf16_flops": peak_flops,
         "peak_hbm_bw": peak_bw,
         "mfu": primary.get("mfu"),
-        "hbm_bw_util": primary.get("hbm_bw_util"),
+        "nominal_bytes_util": primary.get("nominal_bytes_util"),
+        "nominal_bytes_util_note": (
+            "upper-bound accounting from XLA bytes-accessed (re-fused "
+            "reads double-count); can exceed 1.0 and is NOT physical HBM "
+            "bandwidth — bf16/remat A/Bs falsified DRAM-boundness "
+            "(DESIGN.md 2)"
+        ),
+        "vs_baseline_note": (
+            "batch-matched reference PyTorch CPU baseline; TPU timings "
+            "through this harness's tunnel vary +/-15% across sessions "
+            "(DESIGN.md 2), so round-over-round deltas below that are "
+            "noise — within-session A/Bs (scripts/perf_ab.py) are the "
+            "valid perf evidence"
+        ),
         "regime": primary.get("regime"),
         "roofline": roofline,
     }

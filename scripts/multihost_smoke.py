@@ -122,24 +122,45 @@ def run_worker(args):
     print(f"[p{pid}] param_checksum {float(np.abs(leaf).sum()):.6f}",
           flush=True)
 
+    if args.bench_epochs:
+        # timed epochs AFTER the compile+correctness epoch above; the
+        # cross-process psum keeps workers in lockstep, so each process's
+        # wall time is the global epoch time
+        import time
 
-def run_launcher(args):
+        times = []
+        for _ in range(args.bench_epochs):
+            t0 = time.perf_counter()
+            net, opt_state, loss = epoch(
+                net, opt_state, dyn_r, states, refs, idx
+            )
+            jax.block_until_ready(loss)
+            times.append(time.perf_counter() - t0)
+        print(f"[p{pid}] epoch_times "
+              + " ".join(f"{t:.4f}" for t in times), flush=True)
+
+
+def launch_workers(args, nproc, port_offset=0):
+    """Spawn ``nproc`` workers, verify agreement, return their outputs."""
+    host, port = args.coordinator.rsplit(":", 1)
+    coordinator = f"{host}:{int(port) + port_offset}"
     procs = []
     logs = []
-    for pid in range(args.nproc):
+    for pid in range(nproc):
         cmd = [
             sys.executable, "-u", os.path.abspath(__file__), "--worker",
-            "--process_id", str(pid), "--nproc", str(args.nproc),
-            "--coordinator", args.coordinator,
+            "--process_id", str(pid), "--nproc", str(nproc),
+            "--coordinator", coordinator,
             "--local_devices", str(args.local_devices),
             "--n_rows", str(args.n_rows),
             "--batch_size", str(args.batch_size),
+            "--bench_epochs", str(args.bench_epochs),
         ]
         logs.append(open(f"/tmp/multihost_p{pid}.log", "w+"))
         procs.append(subprocess.Popen(
             cmd, stdout=logs[-1], stderr=subprocess.STDOUT
         ))
-    rcs = [p.wait(timeout=600) for p in procs]
+    rcs = [p.wait(timeout=1800) for p in procs]
     outs = []
     for f in logs:
         f.seek(0)
@@ -154,10 +175,81 @@ def run_launcher(args):
         checksums += re.findall(r"param_checksum ([\d.]+)", out)
     print("\n".join(line for out in outs for line in out.splitlines()
                     if line.startswith("[p")))
-    assert len(losses) == args.nproc and len(set(losses)) == 1, losses
+    assert len(losses) == nproc and len(set(losses)) == 1, losses
     assert len(set(checksums)) == 1, checksums
-    print(f"multihost OK: {args.nproc} processes agree "
+    print(f"multihost OK: {nproc} processes agree "
           f"(loss {losses[0]}, checksum {checksums[0]})")
+    return outs
+
+
+def epoch_times_from(outs):
+    """Per-process timed-epoch lists -> global epoch time per epoch (the
+    slowest process bounds the epoch; collectives keep them in lockstep)."""
+    per_proc = [
+        [float(t) for t in re.findall(r"epoch_times (.+)", out)[0].split()]
+        for out in outs
+    ]
+    n_epochs = min(len(t) for t in per_proc)
+    return [max(t[i] for t in per_proc) for i in range(n_epochs)]
+
+
+def run_launcher(args):
+    outs = launch_workers(args, args.nproc)
+
+    if not args.bench:
+        return
+    import json
+
+    # 1-process baseline on the SAME global workload: with every process
+    # timesharing this host's core(s), a perfect communication layer would
+    # make N processes each doing 1/N of the work take the SAME wall time
+    # as 1 process doing all of it — the measured slowdown IS the
+    # coordination + gloo-collective + dispatch overhead, which is the
+    # multi-host mechanics this environment can measure (real multi-chip
+    # scaling needs real separate hosts; BASELINE.md north-star)
+    print(f"bench: 1-process baseline on the same {args.n_rows}-row "
+          "global workload...")
+    outs_1p = launch_workers(args, 1, port_offset=1)
+
+    t_np = min(epoch_times_from(outs))
+    t_1p = min(epoch_times_from(outs_1p))
+    rows_per_s = args.n_rows / t_np
+    efficiency = t_1p / t_np
+    try:
+        n_cores = os.cpu_count()
+    except Exception:
+        n_cores = None
+    result = {
+        "config": {
+            "n_rows_global": args.n_rows,
+            "batch_size": args.batch_size,
+            "nproc": args.nproc,
+            "local_devices_per_proc": args.local_devices,
+            "bench_epochs": args.bench_epochs,
+            "host_cpu_cores": n_cores,
+            "backend": "cpu+gloo (work-conserving split on one host)",
+        },
+        "epoch_s_1proc": round(t_1p, 4),
+        f"epoch_s_{args.nproc}proc": round(t_np, 4),
+        "rows_per_s_global": round(rows_per_s, 1),
+        "env_steps_per_s_global": round(rows_per_s * 10, 1),
+        "mechanics_efficiency": round(efficiency, 4),
+        "note": (
+            "CPU-mechanics-grade measurement (single host, processes "
+            "timeshare the same cores): the N-process run does the same "
+            "global work as the 1-process run, so mechanics_efficiency = "
+            "t_1proc/t_Nproc isolates coordination + gloo collective + "
+            "per-process dispatch overhead. It upper-bounds nothing about "
+            "ICI-connected TPU hosts but is the judgeable bar without "
+            "real multi-chip hardware; the >=80% 1->N-host scaling target "
+            "remains to be measured on a real slice."
+        ),
+    }
+    out_path = os.path.join(REPO, "MULTIHOST_BENCH.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":
@@ -171,7 +263,16 @@ if __name__ == "__main__":
                         help="global env batch (BASELINE config #5 uses "
                              "16384 over 2 hosts)")
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--bench", action="store_true",
+                        help="also run a 1-process baseline and emit "
+                             "MULTIHOST_BENCH.json (throughput + "
+                             "mechanics efficiency)")
+    parser.add_argument("--bench_epochs", type=int, default=0,
+                        help="timed epochs per worker after the "
+                             "compile epoch (set by --bench)")
     args = parser.parse_args()
+    if args.bench and args.bench_epochs == 0:
+        args.bench_epochs = 3
     if args.worker:
         run_worker(args)
     else:

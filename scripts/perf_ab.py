@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Within-session A/B of the train-step perf levers (VERDICT r2 #5).
+
+Cross-session TPU timings vary +/-15% through the tunnel (DESIGN.md 2), so
+the only valid perf evidence is same-session back-to-back measurement —
+this script runs every variant interleaved in one process and reports
+medians-of-min per variant:
+
+  base         production step (quad_step)
+  fast         quad_step_fast: algebraically pre-combined constant chains
+               (J and mass cancellations, dt folded into the rate gain)
+  base_donate  base + donated (net, opt_state) buffers in the iterated scan
+  fast_donate  fast + donation
+  halfsplit    two independent half-batch grad computations averaged before
+               one update — offers the scheduler two independent dependence
+               chains to interleave (issue-latency hiding experiment)
+
+Usage: python scripts/perf_ab.py [--batch 4096] [--iters 50] [--rounds 5]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=4096)
+    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--rounds", type=int, default=5,
+                        help="interleaved measurement rounds per variant")
+    parser.add_argument("--repeats", type=int, default=4,
+                        help="timed calls per round (min taken)")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        from apg_trajectory_tracking_tpu.utils.backend import (
+            force_cpu_backend,
+        )
+
+        force_cpu_backend()
+
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from apg_trajectory_tracking_tpu.dynamics.quad import (
+        quad_params,
+        quad_step,
+        quad_step_fast,
+    )
+    from apg_trajectory_tracking_tpu.models import init_control_net
+    from apg_trajectory_tracking_tpu.training.common import sgd_momentum
+    from apg_trajectory_tracking_tpu.training.train_quad import (
+        build_concurrent_step,
+    )
+
+    HORIZON = 10
+    key = jax.random.PRNGKey(0)
+    net = init_control_net(key, 15, HORIZON, 9, HORIZON * 4, conv=True)
+    optimizer = sgd_momentum(1e-5)
+    opt_state = optimizer.init(net)
+    dyn = quad_params()
+
+    rng = np.random.RandomState(0)
+    states = jnp.asarray(rng.randn(args.batch, 12).astype(np.float32) * 0.3)
+    refs = jnp.asarray(
+        rng.randn(args.batch, HORIZON, 9).astype(np.float32) * 0.3
+    )
+
+    def make_run_iters(step, donate=False):
+        def run_iters(net, opt_state, states, refs):
+            def body(carry, _):
+                n, o = carry
+                n, o, loss = step(n, o, dyn, states, refs)
+                return (n, o), loss
+
+            (net, opt_state), losses = jax.lax.scan(
+                body, (net, opt_state), None, length=args.iters
+            )
+            return net, opt_state, losses[-1]
+
+        kw = {"donate_argnums": (0, 1)} if donate else {}
+        return jax.jit(run_iters, **kw)
+
+    def build_halfsplit_step(dyn_step):
+        from apg_trajectory_tracking_tpu.data.dataset import (
+            quad_prepare_data,
+        )
+        from apg_trajectory_tracking_tpu.losses import quad_mpc_loss
+        from apg_trajectory_tracking_tpu.models import control_net_apply
+
+        def loss_fn(net_params, s, r):
+            in_state, cur, in_ref, rel_ref = quad_prepare_data(s, r)
+            logits = control_net_apply(net_params, in_state, in_ref)
+            acts = jax.nn.sigmoid(logits).reshape(-1, HORIZON, 4)
+
+            def body(state, act):
+                nxt = dyn_step(dyn, state, act, 0.1)
+                return nxt, nxt
+
+            _, inter = jax.lax.scan(
+                body, cur, jnp.swapaxes(acts, 0, 1), unroll=True
+            )
+            return quad_mpc_loss(jnp.swapaxes(inter, 0, 1), rel_ref, acts)
+
+        vag = jax.value_and_grad(loss_fn)
+
+        def step(net_params, opt_state, _dyn, s, r):
+            h = s.shape[0] // 2
+            l0, g0 = vag(net_params, s[:h], r[:h])
+            l1, g1 = vag(net_params, s[h:], r[h:])
+            # quad_mpc_loss is sum-reduced over the batch, so the halves
+            # recombine by addition (bitwise-different but numerically
+            # equal grads vs the full-batch step)
+            grads = jax.tree_util.tree_map(lambda a, b: a + b, g0, g1)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            return (optax.apply_updates(net_params, updates), opt_state,
+                    l0 + l1)
+
+        return step
+
+    variants = {
+        "base": make_run_iters(
+            build_concurrent_step(quad_step, optimizer, 0.1, HORIZON, 4)
+        ),
+        "fast": make_run_iters(
+            build_concurrent_step(quad_step_fast, optimizer, 0.1, HORIZON, 4)
+        ),
+        "base_donate": make_run_iters(
+            build_concurrent_step(quad_step, optimizer, 0.1, HORIZON, 4),
+            donate=True,
+        ),
+        "fast_donate": make_run_iters(
+            build_concurrent_step(quad_step_fast, optimizer, 0.1, HORIZON, 4),
+            donate=True,
+        ),
+        "halfsplit": make_run_iters(build_halfsplit_step(quad_step_fast)),
+    }
+
+    # per-variant threaded (net, opt_state): donated variants consume
+    # their input buffers, so every variant owns fresh device copies and
+    # the returned state is threaded back in
+    net_host = jax.tree_util.tree_map(np.asarray, net)
+    opt_host = jax.tree_util.tree_map(np.asarray, opt_state)
+    fresh = lambda: (
+        jax.tree_util.tree_map(jnp.asarray, net_host),
+        jax.tree_util.tree_map(jnp.asarray, opt_host),
+    )
+    state = {name: fresh() for name in variants}
+
+    # compile + numerics check: every variant's loss must agree with base
+    losses = {}
+    for name, fn in variants.items():
+        n, o = state[name]
+        n, o, loss = fn(n, o, states, refs)
+        state[name] = (n, o)
+        losses[name] = float(jax.block_until_ready(loss))
+    ref_loss = losses["base"]
+    for name, ls in losses.items():
+        dev = abs(ls - ref_loss) / max(abs(ref_loss), 1e-9)
+        assert dev < 1e-3, (name, ls, ref_loss)
+    print("loss agreement ok:",
+          {k: round(v, 4) for k, v in losses.items()})
+
+    times = {name: [] for name in variants}
+    for _ in range(args.rounds):
+        for name, fn in variants.items():  # interleaved rounds
+            best = np.inf
+            for _ in range(args.repeats):
+                n, o = state[name]
+                t0 = time.perf_counter()
+                n, o, loss = fn(n, o, states, refs)
+                jax.block_until_ready(loss)
+                best = min(best, (time.perf_counter() - t0) / args.iters)
+                state[name] = (n, o)
+            times[name].append(best)
+
+    base_med = float(np.median(times["base"]))
+    out = {"batch": args.batch, "iters": args.iters,
+           "device": jax.devices()[0].device_kind, "variants": {}}
+    for name, ts in times.items():
+        med = float(np.median(ts))
+        out["variants"][name] = {
+            "step_ms": round(med * 1e3, 4),
+            "env_steps_per_s": round(args.batch * HORIZON / med, 1),
+            "vs_base": round(base_med / med, 4),
+            "spread": round((max(ts) - min(ts)) / med, 4),
+        }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

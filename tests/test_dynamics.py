@@ -327,3 +327,49 @@ def test_learnt_dynamics_start_at_analytic():
         np.asarray(wing_step(wing_params(), sw, aw, 0.05)),
         atol=1e-7,
     )
+
+
+def test_quad_step_fast_matches_quad_step():
+    """quad_step_fast (the pre-combined throughput path, DESIGN.md 2) is
+    the same model as quad_step up to float roundoff: the J and mass
+    multiply-then-divide chains cancel exactly in real arithmetic, so the
+    two steps must agree to ~1 ulp per step — including under gradients
+    and with non-zero drag (where the folded rot_drag/J term differs
+    bitwise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.dynamics.quad import (
+        quad_params,
+        quad_step,
+        quad_step_fast,
+    )
+
+    rng = np.random.RandomState(5)
+    state = rng.randn(64, 12).astype(np.float32) * 0.4
+    action = rng.rand(64, 4).astype(np.float32)
+    for mods in ({}, {"translational_drag": [0.1, 0.2, 0.3],
+                      "rotational_drag": [0.05, 0.02, 0.01]}):
+        p = quad_params(mods)
+        a = np.asarray(quad_step(p, state, action, 0.1))
+        b = np.asarray(quad_step_fast(p, state, action, 0.1))
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+    # gradient parity through a 10-step unroll (the BPTT path)
+    def rollout_sum(step_fn, s0, acts):
+        p = quad_params()
+
+        def body(s, a):
+            nxt = step_fn(p, s, a, 0.1)
+            return nxt, nxt
+
+        _, inter = jax.lax.scan(body, s0, acts)
+        return jnp.sum(inter ** 2)
+
+    acts = jnp.asarray(rng.rand(10, 8, 4).astype(np.float32))
+    s0 = jnp.asarray(rng.randn(8, 12).astype(np.float32) * 0.2)
+    g_a = jax.grad(lambda a: rollout_sum(quad_step, s0, a))(acts)
+    g_b = jax.grad(lambda a: rollout_sum(quad_step_fast, s0, a))(acts)
+    np.testing.assert_allclose(
+        np.asarray(g_a), np.asarray(g_b), atol=1e-3, rtol=1e-4
+    )
