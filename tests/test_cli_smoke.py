@@ -267,3 +267,27 @@ def test_evaluate_quad_external_sim(monkeypatch, capsys):
     # trajectory's stability on another toolchain)
     assert abs(m_ext["ratio_stable"] - m_jax["ratio_stable"]) <= 0.34
     assert abs(m_ext["mean_divergence"] - m_jax["mean_divergence"]) < 0.05
+
+
+def test_make_tables_quick_wing(monkeypatch, capsys, tmp_path):
+    """The one-command table regenerator's CI smoke: the wing section runs
+    end-to-end against shipped assets only (APG + PPO + PETS; --skip_mpc
+    keeps it fast) and emits the artifact set with CI-annotated rows."""
+    out_dir = str(tmp_path / "docs")
+    out = _run(
+        "make_tables",
+        ["make_tables.py", "--quick", "--sections", "wing", "--skip_mpc",
+         "--out_dir", out_dir],
+        monkeypatch, capsys,
+    )
+    assert "APG wing_trained" in out
+    with open(os.path.join(out_dir, "all_results.json")) as f:
+        res = json.load(f)
+    rows = res["wing_waypoint"]["results"]
+    apg = rows["APG wing_trained"]
+    assert apg["n"] == 3
+    lo, hi = apg["pass_rate_ci"]
+    assert lo <= apg["pass_rate"] <= hi
+    with open(os.path.join(out_dir, "tables_manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["sections"]["wing"]["artifact"]
