@@ -146,7 +146,7 @@ def wall_section(args):
         "protocol": (
             f"{n} distinct test trajectories from the independent "
             "9000/1000 bank (data/traj_data_ref, generation seed 0, draw "
-            "seed 42), speed 0.5 (the feasibility wall, DESIGN.md 8), "
+            "seed 42), speed 0.5 (the feasibility wall, DESIGN.md 6), "
             "thresh_div 1.0, test-time break"
         ),
         "n": n,
