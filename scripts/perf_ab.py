@@ -76,7 +76,7 @@ def main():
         rng.randn(args.batch, HORIZON, 9).astype(np.float32) * 0.3
     )
 
-    def make_run_iters(step, donate=False):
+    def make_run_iters(step, donate=False, unroll=1):
         def run_iters(net, opt_state, states, refs):
             def body(carry, _):
                 n, o = carry
@@ -84,7 +84,8 @@ def main():
                 return (n, o), loss
 
             (net, opt_state), losses = jax.lax.scan(
-                body, (net, opt_state), None, length=args.iters
+                body, (net, opt_state), None, length=args.iters,
+                unroll=unroll,
             )
             return net, opt_state, losses[-1]
 
@@ -144,6 +145,12 @@ def main():
             donate=True,
         ),
         "halfsplit": make_run_iters(build_halfsplit_step(quad_step_fast)),
+        # outer-loop unroll: two SGD iterations per while-loop trip —
+        # halves the iteration-scan overhead if that overhead is real
+        "fast_donate_unroll2": make_run_iters(
+            build_concurrent_step(quad_step_fast, optimizer, 0.1, HORIZON, 4),
+            donate=True, unroll=2,
+        ),
     }
 
     # per-variant threaded (net, opt_state): donated variants consume
