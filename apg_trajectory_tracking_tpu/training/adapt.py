@@ -199,7 +199,8 @@ class TrainCartpoleAdapt(TrainCartpole):
         res = evaluate_balance(
             self.net, self.eval_dyn, dt=self.dt, horizon=self.horizon
         )
-        res = {k: float(v) for k, v in res.items()}
+        res = {k: float(v) for k, v in res.items()
+               if not k.endswith("_per_episode")}
         self.logger.log_dict(res)
         self.logger.log("mean_success", res["mean_vel"])
         self.logger.log("std_success", res["std_vel"])
