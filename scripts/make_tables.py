@@ -154,6 +154,91 @@ def wall_section(args):
     }
 
 
+ANALYTIC_MODELS = [
+    "assets/quad_mpc_distilled_h14",
+    "assets/quad_mpc_distilled",
+    "assets/quad_minjerk_trained",
+    "assets/quad_trained_9k",
+    "assets/quad_trained",
+]
+
+
+def analytic_section(args):
+    """Analytic-reference tracking (hover / straight / circle via the
+    closed-form min-jerk planner — references none of these models trained
+    on): per-(model, ref) mean divergence + steps survived. Deterministic
+    (fixed init state), so no CIs — the artifact exists to back the
+    README's analytic-ref claims."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import (
+        follow_analytic,
+    )
+    from apg_trajectory_tracking_tpu.trajectory import refs as R
+
+    from evaluate_quad import load_quad_controller, eval_kwargs_for  # noqa
+
+    dyn = quad_params()
+    dt = 0.1
+    results = {}
+    for model_dir in ANALYTIC_MODELS:
+        if not os.path.exists(os.path.join(model_dir, "config.json")):
+            continue
+        net, cfg = load_quad_controller(model_dir)
+        horizon = cfg["horizon"]
+        win_rows = cfg.get("net_window", horizon)
+        name = os.path.basename(model_dir)
+        results[name] = {}
+        init_state = jnp.zeros((1, 12), dtype=jnp.float32).at[:, 2].set(3.0)
+        max_dist = cfg.get("max_drone_dist", 0.25)
+        target = jnp.array([0.0, 0.0, 3.0])
+        s0 = R.straight_init(
+            jnp.array([0.0, 0.0, 3.0]), jnp.array([1.0, 0.3, 0.1])
+        )
+        c = R.circle_init(
+            jnp.array([0.0, 0.0, 3.0]), jnp.array([0.0, 1.0, 0.0]),
+            radius=2.0, direction=1.0, plane=(0, 1),
+        )
+        for ref_name, window_fn, project_fn in (
+            ("hover",
+             lambda s: R.hover_ref_window(target, s, dt, win_rows),
+             lambda p: target),
+            ("straight",
+             lambda s: R.straight_ref_window(s0, s, dt, win_rows, max_dist),
+             lambda p: R.straight_project(s0, p)),
+            ("circle",
+             lambda s: R.circle_ref_window(c, s, dt, win_rows, max_dist,
+                                           (0, 1)),
+             lambda p: R.circle_project(c, p, (0, 1))),
+        ):
+            roll = follow_analytic(
+                net, dyn, window_fn, project_fn, init_state,
+                thresh_div=1.0, thresh_stable=1.0, horizon=horizon,
+                dt=cfg["delta_t"],
+            )
+            divs = np.asarray(roll["divergences"])
+            valid = np.asarray(roll["valid"])
+            err = float((divs * valid).sum() / max(valid.sum(), 1))
+            results[name][ref_name] = {
+                "mean_divergence": err,
+                "steps": int(valid.sum(axis=1).mean()),
+            }
+        print("analytic", name,
+              {k: round(v["mean_divergence"], 3)
+               for k, v in results[name].items()})
+    return {
+        "protocol": (
+            "closed-loop tracking of analytic references (hover / "
+            "straight / circle) generated per-step by the closed-form "
+            "min-jerk planner, start at (0,0,3), thresh_div 1.0, max 251 "
+            "steps, test-time break; deterministic single rollout"
+        ),
+        "results": results,
+    }
+
+
 SPEED_MODELS = [
     "assets/quad_trained_9k",
     "assets/quad_trained",
@@ -289,8 +374,9 @@ def replace_block(text, name, new_body):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--sections", default="quad,wide,wall,speeds,cartpole,wing",
-        help="comma list of quad,wide,wall,speeds,cartpole,wing")
+        "--sections",
+        default="quad,wide,wall,speeds,analytic,cartpole,wing",
+        help="comma list of quad,wide,wall,speeds,analytic,cartpole,wing")
     parser.add_argument("--quick", action="store_true",
                         help="tiny protocol smoke run (CI); writes to "
                              "--out_dir only, never README/docs")
@@ -419,6 +505,17 @@ def main():
             "protocol": sec["protocol"],
         }
         readme_blocks["speed_table"] = speed_matrix_table(sec)
+
+    if "analytic" in sections:
+        sec = analytic_section(args)
+        with open(os.path.join(args.out_dir, "analytic_refs.json"),
+                  "w") as f:
+            json.dump(sec, f, indent=1)
+        all_results["analytic_refs"] = sec
+        manifest["sections"]["analytic"] = {
+            "artifact": "docs/analytic_refs.json",
+            "protocol": sec["protocol"],
+        }
 
     if "cartpole" in sections:
         rows, n = cb.cartpole_table(cb_args)
