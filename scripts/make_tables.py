@@ -239,6 +239,75 @@ def analytic_section(args):
     }
 
 
+ROBUSTNESS_MODELS = [
+    "assets/quad_trained_9k",
+    "assets/quad_mpc_distilled_h14",
+]
+
+
+def robustness_section(args):
+    """The reference's 1.0..1.9 single-parameter robustness sweeps
+    (evaluate_base.py:68-114) for the champion models, regenerating
+    docs/robustness_<model>.json — err and stable drawn from the same
+    rollouts, fixed trajectory draw shared across every (param, factor)
+    cell. Not in the default section list (5 params x 10 factors x 2
+    models = 100 evals); run with --sections robustness."""
+    import jax.numpy as jnp
+
+    import compare_baselines as cb
+    from apg_trajectory_tracking_tpu.dynamics.quad import (
+        DEFAULT_QUAD_CFG,
+        quad_params,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.quad_eval import run_eval
+    from apg_trajectory_tracking_tpu.evaluation.robustness import param_sweep
+
+    from evaluate_quad import load_quad_controller, eval_kwargs_for  # noqa
+
+    references, n = cb.quad_references(
+        "data/traj_data_full", args.robustness_eval, 0.1, 0.4
+    )
+    refs = jnp.asarray(references)
+    out = {}
+    for model_dir in ROBUSTNESS_MODELS:
+        if not os.path.exists(os.path.join(model_dir, "config.json")):
+            continue
+        net, cfg = load_quad_controller(model_dir)
+        name = os.path.basename(model_dir)
+        kwargs = eval_kwargs_for(cfg, n)
+
+        def sweep_metrics(mp):
+            m, _ = run_eval(
+                net, quad_params(mp), refs,
+                refs.shape[1] - cfg["horizon"],
+                thresh_div=1.0, thresh_stable=1.0,
+                horizon=cfg["horizon"], dt=cfg["delta_t"], test_time=True,
+                **kwargs,
+            )
+            return {"err": m["mean_divergence"],
+                    "stable": m["ratio_stable"],
+                    "stable_ci": m["ratio_stable_ci"], "n": m["n"]}
+
+        out[name] = param_sweep(sweep_metrics, DEFAULT_QUAD_CFG)
+        worst = min(
+            (v["stable"], f"{p} x{f}")
+            for p, per in out[name].items() for f, v in per.items()
+        )
+        print(f"robustness {name}: worst cell {worst[1]} "
+              f"stable {worst[0]:.2f}")
+    return {
+        "protocol": (
+            f"{n} distinct full-bank test trajectories (draw seed 42), "
+            "speed 0.4, thresh_div 1.0, test-time break; each physical "
+            "parameter scaled 1.0..1.9 individually "
+            "(evaluate_base.py:68-114 semantics); same rollouts for err "
+            "and stable"
+        ),
+        "n": n,
+        "results": out,
+    }
+
+
 SPEED_MODELS = [
     "assets/quad_trained_9k",
     "assets/quad_trained",
@@ -387,6 +456,7 @@ def main():
     parser.add_argument("--wide_eval", type=int, default=500)
     parser.add_argument("--wall_eval", type=int, default=100)
     parser.add_argument("--speed_eval", type=int, default=50)
+    parser.add_argument("--robustness_eval", type=int, default=20)
     parser.add_argument("--cartpole_eval", type=int, default=50)
     parser.add_argument("--swingup_eval", type=int, default=50)
     parser.add_argument("--wing_eval", type=int, default=40)
@@ -405,6 +475,7 @@ def main():
         args.cartpole_eval = args.swingup_eval = 3
         args.wing_eval = 3
         args.speed_eval = 2
+        args.robustness_eval = 2
         args.skip_readme = True
 
     sections = [s.strip() for s in args.sections.split(",") if s.strip()]
@@ -505,6 +576,19 @@ def main():
             "protocol": sec["protocol"],
         }
         readme_blocks["speed_table"] = speed_matrix_table(sec)
+
+    if "robustness" in sections:
+        sec = robustness_section(args)
+        for name, sweep in sec["results"].items():
+            path = os.path.join(args.out_dir, f"robustness_{name}.json")
+            with open(path, "w") as f:
+                json.dump(sweep, f, indent=1, default=float)
+        all_results["robustness"] = sec
+        manifest["sections"]["robustness"] = {
+            "n": sec["n"],
+            "artifact": "docs/robustness_<model>.json",
+            "protocol": sec["protocol"],
+        }
 
     if "analytic" in sections:
         sec = analytic_section(args)
