@@ -109,7 +109,8 @@ def make_sharded_eval(mesh, eval_fn, static_argnames=()):
     )
 
 
-def make_sharded_epoch(mesh, step_fn, n_data=2, dyn_arg=True):
+def make_sharded_epoch(mesh, step_fn, n_data=2, dyn_arg=True, donate=False,
+                       unroll=1):
     """The trainers' production epoch runner: one jitted ``lax.scan`` over
     shuffled minibatches with DP shardings (params/opt-state/dynamics
     replicated, data buffers and every minibatch sharded on 'env', psum
@@ -126,6 +127,13 @@ def make_sharded_epoch(mesh, step_fn, n_data=2, dyn_arg=True):
             loss)``.
         n_data: number of data buffers indexed per minibatch.
         dyn_arg: whether ``step_fn`` takes a (replicated) dynamics pytree.
+        donate: donate the (params, opt_state) buffers so XLA updates them
+            in place across the epoch call. The trainers thread the
+            returned state back in, so they opt in (a measured ~0.5-3%
+            win, scripts/perf_ab.py); callers that reuse the same input
+            arrays across calls must keep the default.
+        unroll: minibatch-scan unroll factor (2 in the trainers — the
+            measured win of the outer-scan unroll lever, perf_ab.py).
     Returns:
         jitted ``(params, opt_state, [dyn,] *data, idx) -> (params,
         opt_state, mean_loss)`` with ``idx`` of shape (n_batches, B).
@@ -154,7 +162,7 @@ def make_sharded_epoch(mesh, step_fn, n_data=2, dyn_arg=True):
             return (p, o), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), idx
+            body, (params, opt_state), idx, unroll=unroll
         )
         return params, opt_state, jnp.mean(losses)
 
@@ -164,7 +172,9 @@ def make_sharded_epoch(mesh, step_fn, n_data=2, dyn_arg=True):
         + (shard,) * n_data
         + (rep,)
     )
-    return jax.jit(epoch, in_shardings=in_sh, out_shardings=(rep, rep, rep))
+    kw = {"donate_argnums": (0, 1)} if donate else {}
+    return jax.jit(epoch, in_shardings=in_sh, out_shardings=(rep, rep, rep),
+                   **kw)
 
 
 def pad_to_multiple(tree, multiple, axis=0):

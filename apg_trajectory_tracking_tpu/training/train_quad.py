@@ -31,7 +31,10 @@ from apg_trajectory_tracking_tpu.data.dataset import (
     quad_prepare_data,
     quad_state_features,
 )
-from apg_trajectory_tracking_tpu.dynamics.quad import quad_params, quad_step
+from apg_trajectory_tracking_tpu.dynamics.quad import (
+    quad_params,
+    quad_step_fast,
+)
 from apg_trajectory_tracking_tpu.envs.quad_env import full_state_training_data
 from apg_trajectory_tracking_tpu.evaluation.quad_eval import run_eval
 from apg_trajectory_tracking_tpu.losses import quad_mpc_loss
@@ -192,7 +195,12 @@ class TrainQuad:
         tensorboard=False,
         minjerk_mix=0.0,
         mesh=None,
-        dyn_step=quad_step,
+        # training unrolls use the pre-combined throughput step (promoted
+        # after the within-session A/B in scripts/perf_ab.py — DESIGN.md
+        # §2; parity vs quad_step pinned incl. gradients in
+        # tests/test_dynamics.py). Evaluation keeps quad_step, the
+        # reference-exact op order.
+        dyn_step=quad_step_fast,
     ):
         self.config = cfg = dict(config or load_config("quad"))
         if train_mode is not None:
@@ -333,7 +341,9 @@ class TrainQuad:
                 self.action_dim, lstm=(self.mode == "LSTM"),
                 lstm_hidden=getattr(self, "lstm_hidden", 8),
             )
-        self._train_epoch = make_sharded_epoch(self.mesh, step)
+        self._train_epoch = make_sharded_epoch(
+            self.mesh, step, donate=True, unroll=2
+        )
 
         if not 0.0 <= float(minjerk_mix) <= 1.0:
             raise ValueError(

@@ -155,7 +155,9 @@ class TrainWing:
             wing_step, self.optimizer, self.dt_train, self.dt, self.horizon,
             self.mean, self.std,
         )
-        self._train_epoch = make_sharded_epoch(self.mesh, step)
+        self._train_epoch = make_sharded_epoch(
+            self.mesh, step, donate=True, unroll=2
+        )
 
         self.save_path = os.path.join("trained_models", "wing", save_name)
         self.logger = ResultsLogger(self.save_path,

@@ -34,7 +34,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from apg_trajectory_tracking_tpu.dynamics.quad import quad_params, quad_step
+from apg_trajectory_tracking_tpu.dynamics.quad import (
+    quad_params,
+    quad_step_fast,
+)
 from apg_trajectory_tracking_tpu.models import init_control_net
 from apg_trajectory_tracking_tpu.training.common import sgd_momentum
 from apg_trajectory_tracking_tpu.training.train_quad import (
@@ -72,7 +75,8 @@ def make_run_iters(step, dyn, iters):
     # lax.scan dispatch (parallel/mesh.py make_sharded_epoch), so the
     # benchmark iterates on device too — a per-step host dispatch would
     # measure the axon tunnel's round-trip latency, not the chip.
-    @jax.jit
+    # Donated (net, opt_state) buffers and unroll=2 mirror the trainers'
+    # promoted epoch configuration (scripts/perf_ab.py, DESIGN.md §2).
     def run_iters(net, opt_state, states, refs):
         def body(carry, _):
             n, o = carry
@@ -80,11 +84,11 @@ def make_run_iters(step, dyn, iters):
             return (n, o), loss
 
         (net, opt_state), losses = jax.lax.scan(
-            body, (net, opt_state), None, length=iters
+            body, (net, opt_state), None, length=iters, unroll=2
         )
         return net, opt_state, losses[-1]
 
-    return run_iters
+    return jax.jit(run_iters, donate_argnums=(0, 1))
 
 
 def cost_of(compiled, iters, dt, peak_flops):
@@ -117,13 +121,18 @@ def measure(step, dyn, net, opt_state, batch, iters, repeats, peak_flops):
         rng.randn(batch, HORIZON, 9).astype(np.float32) * 0.3
     )
     run_iters = make_run_iters(step, dyn, iters)
-    compiled = run_iters.lower(net, opt_state, states, refs).compile()
-    n, o, loss = compiled(net, opt_state, states, refs)
+    # the jit donates (net, opt_state) — own fresh device copies and
+    # thread the returned state so the caller's buffers stay valid
+    n = jax.tree_util.tree_map(lambda a: jnp.array(np.asarray(a)), net)
+    o = jax.tree_util.tree_map(lambda a: jnp.array(np.asarray(a)),
+                               opt_state)
+    compiled = run_iters.lower(n, o, states, refs).compile()
+    n, o, loss = compiled(n, o, states, refs)
     jax.block_until_ready(loss)
     dt = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        n, o, loss = compiled(net, opt_state, states, refs)
+        n, o, loss = compiled(n, o, states, refs)
         jax.block_until_ready(loss)
         dt = min(dt, (time.perf_counter() - t0) / iters)
     flops, hbm_bytes = cost_of(compiled, iters, dt, peak_flops)
@@ -162,7 +171,10 @@ def main():
     optimizer = sgd_momentum(1e-5)
     opt_state = optimizer.init(net)
     dyn = quad_params()
-    step = build_concurrent_step(quad_step, optimizer, 0.1, HORIZON, 4)
+    # quad_step_fast is the promoted production training step (perf_ab.py
+    # within-session A/B: fast+donate+unroll2 = +5.7% over the round-3
+    # path at batch 4096; parity pinned in tests/test_dynamics.py)
+    step = build_concurrent_step(quad_step_fast, optimizer, 0.1, HORIZON, 4)
 
     peak_flops, peak_bw = chip_peaks()
 

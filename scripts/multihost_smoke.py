@@ -139,6 +139,34 @@ def run_worker(args):
         print(f"[p{pid}] epoch_times "
               + " ".join(f"{t:.4f}" for t in times), flush=True)
 
+    if args.time_collectives:
+        # overhead decomposition: a bare gloo all-reduce on the exact
+        # gradient-shaped pytree the epoch reduces, timed alone — the
+        # production epoch runs one of these per minibatch, so
+        # per-epoch collective cost = per-call time x n_batches
+        import time
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        grads_like = jax.tree_util.tree_map(jnp.ones_like, net)
+        allreduce = jax.jit(shard_map(
+            lambda g: jax.tree_util.tree_map(
+                lambda a: jax.lax.psum(a, "env"), g
+            ),
+            mesh=mesh, in_specs=P(), out_specs=P(),
+        ))
+        out = allreduce(grads_like)
+        jax.block_until_ready(out)  # compile
+        ctimes = []
+        for _ in range(args.time_collectives):
+            t0 = time.perf_counter()
+            out = allreduce(grads_like)
+            jax.block_until_ready(out)
+            ctimes.append(time.perf_counter() - t0)
+        print(f"[p{pid}] collective_times "
+              + " ".join(f"{t:.6f}" for t in ctimes), flush=True)
+
 
 def launch_workers(args, nproc, port_offset=0):
     """Spawn ``nproc`` workers, verify agreement, return their outputs."""
@@ -155,6 +183,7 @@ def launch_workers(args, nproc, port_offset=0):
             "--n_rows", str(args.n_rows),
             "--batch_size", str(args.batch_size),
             "--bench_epochs", str(args.bench_epochs),
+            "--time_collectives", str(args.time_collectives),
         ]
         logs.append(open(f"/tmp/multihost_p{pid}.log", "w+"))
         procs.append(subprocess.Popen(
@@ -191,6 +220,106 @@ def epoch_times_from(outs):
     ]
     n_epochs = min(len(t) for t in per_proc)
     return [max(t[i] for t in per_proc) for i in range(n_epochs)]
+
+
+def collective_times_from(outs):
+    """Per-call global all-reduce time (max over procs, min over calls)."""
+    per_proc = [
+        [float(t) for t in
+         re.findall(r"collective_times (.+)", out)[0].split()]
+        for out in outs
+    ]
+    n_calls = min(len(t) for t in per_proc)
+    return min(max(t[i] for t in per_proc) for i in range(n_calls))
+
+
+def run_sweep(args):
+    """nproc x n_rows sweep + overhead decomposition (VERDICT r3 #7).
+
+    For each cell: the N-process run does the SAME global work as the
+    1-process baseline (work-conserving split), so
+    mechanics_efficiency = t_1proc / t_Nproc. The bare-gloo all-reduce
+    timing decomposes the (t_N - t_1) overhead into collective cost
+    (per-call time x collectives-per-epoch) vs residual coordination +
+    per-process dispatch.
+    """
+    import json
+
+    sweep = []
+    baselines = {}
+    port = 0
+    for n_rows in args.sweep_rows:
+        a1 = argparse.Namespace(**vars(args))
+        a1.n_rows = n_rows
+        if n_rows not in baselines:
+            print(f"sweep: 1-process baseline, n_rows={n_rows}")
+            outs = launch_workers(a1, 1, port_offset=port)
+            port += 1
+            baselines[n_rows] = min(epoch_times_from(outs))
+        for nproc in args.sweep_nproc:
+            print(f"sweep: nproc={nproc}, n_rows={n_rows}")
+            aN = argparse.Namespace(**vars(args))
+            aN.n_rows = n_rows
+            outs = launch_workers(aN, nproc, port_offset=port)
+            port += 1
+            t_np = min(epoch_times_from(outs))
+            t_1p = baselines[n_rows]
+            n_batches = n_rows // args.batch_size
+            per_call = collective_times_from(outs)
+            collective_s = per_call * n_batches
+            overhead_s = max(t_np - t_1p, 0.0)
+            sweep.append({
+                "nproc": nproc,
+                "n_rows_global": n_rows,
+                "n_collectives_per_epoch": n_batches,
+                "epoch_s_1proc": round(t_1p, 4),
+                f"epoch_s_{nproc}proc": round(t_np, 4),
+                "mechanics_efficiency": round(t_1p / t_np, 4),
+                "allreduce_s_per_call": round(per_call, 6),
+                "collective_s_per_epoch": round(collective_s, 4),
+                "overhead_s_per_epoch": round(overhead_s, 4),
+                "overhead_share_collectives": round(
+                    min(collective_s / overhead_s, 1.0), 4
+                ) if overhead_s > 1e-9 else None,
+                "rows_per_s_global": round(n_rows / t_np, 1),
+                "env_steps_per_s_global": round(n_rows / t_np * 10, 1),
+            })
+            print(json.dumps(sweep[-1]))
+    try:
+        n_cores = os.cpu_count()
+    except Exception:
+        n_cores = None
+    result = {
+        "config": {
+            "batch_size": args.batch_size,
+            "local_devices_per_proc": args.local_devices,
+            "bench_epochs": args.bench_epochs,
+            "time_collectives": args.time_collectives,
+            "host_cpu_cores": n_cores,
+            "backend": "cpu+gloo (work-conserving split on one host)",
+        },
+        "sweep": sweep,
+        "note": (
+            "CPU-mechanics-grade measurement (single host, all processes "
+            "timeshare the same core(s)): the N-process run does the same "
+            "global work as the 1-process run, so mechanics_efficiency = "
+            "t_1proc/t_Nproc isolates coordination + gloo collective + "
+            "per-process dispatch overhead. allreduce_s_per_call times "
+            "the bare gloo all-reduce on the exact gradient-shaped "
+            "pytree; collective_s_per_epoch = per_call x "
+            "collectives-per-epoch decomposes the epoch overhead into "
+            "collective cost vs residual dispatch/coordination "
+            "(overhead_share_collectives). It upper-bounds nothing about "
+            "ICI-connected TPU hosts but is the judgeable bar without "
+            "real multi-chip hardware; the >=80% 1->N-host scaling "
+            "target remains to be measured on a real slice."
+        ),
+    }
+    out_path = os.path.join(REPO, "MULTIHOST_BENCH.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+    print("wrote", out_path)
 
 
 def run_launcher(args):
@@ -270,10 +399,25 @@ if __name__ == "__main__":
     parser.add_argument("--bench_epochs", type=int, default=0,
                         help="timed epochs per worker after the "
                              "compile epoch (set by --bench)")
+    parser.add_argument("--time_collectives", type=int, default=0,
+                        help="timed bare gloo all-reduce calls per worker "
+                             "(overhead decomposition; set by --sweep)")
+    parser.add_argument("--sweep", action="store_true",
+                        help="nproc x n_rows efficiency sweep with "
+                             "overhead decomposition; rewrites "
+                             "MULTIHOST_BENCH.json")
+    parser.add_argument("--sweep_nproc", type=int, nargs="+",
+                        default=[2, 4])
+    parser.add_argument("--sweep_rows", type=int, nargs="+",
+                        default=[4096, 16384])
     args = parser.parse_args()
-    if args.bench and args.bench_epochs == 0:
+    if (args.bench or args.sweep) and args.bench_epochs == 0:
         args.bench_epochs = 3
+    if args.sweep and args.time_collectives == 0:
+        args.time_collectives = 10
     if args.worker:
         run_worker(args)
+    elif args.sweep:
+        run_sweep(args)
     else:
         run_launcher(args)
