@@ -493,7 +493,8 @@ def cartpole_table(args):
     rows = {}
 
     for model_dir in ("assets/cartpole_trained",
-                      "assets/cartpole_balance_trained"):
+                      "assets/cartpole_balance_trained",
+                      "assets/cartpole_swingup_trained"):
         if not os.path.exists(os.path.join(model_dir, "config.json")):
             continue
         net = load_checkpoint(
