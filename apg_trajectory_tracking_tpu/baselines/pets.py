@@ -369,13 +369,15 @@ def run_pets_cartpole(trials=200, trial_length=200, seed=0, dt=0.05,
         population=150, n_elites=15, n_particles=5, n_iters=5,
     )
     key = jax.random.PRNGKey(seed)
+    # single compiled dispatch per step (see run_pets_wing's _step1 note)
+    _step1 = jax.jit(lambda s, a: env_step(dyn, s, a, dt))
 
     key, k = jax.random.split(key)
     state = np.asarray(reset_upright(k, 1)[0])
     rng = np.random.RandomState(seed)
     for _ in range(trial_length):
         a = rng.rand(1).astype(np.float32) * 2 - 1
-        s2 = np.asarray(env_step(dyn, jnp.asarray(state), jnp.asarray(a), dt))
+        s2 = np.asarray(_step1(jnp.asarray(state), jnp.asarray(a)))
         agent.record(state, a, s2)
         state = s2
         if abs(state[2]) > 1.0:
@@ -391,9 +393,7 @@ def run_pets_cartpole(trials=200, trial_length=200, seed=0, dt=0.05,
         total, step_i = 0.0, 0
         for step_i in range(trial_length):
             a = agent.act(state)
-            s2 = np.asarray(
-                env_step(dyn, jnp.asarray(state), jnp.asarray(a), dt)
-            )
+            s2 = np.asarray(_step1(jnp.asarray(state), jnp.asarray(a)))
             agent.record(state, a, s2)
             upright = bool(np.abs(s2[2]) < 0.21)
             total += (1.0 - abs(float(s2[1]))) if upright else 0.0
@@ -449,11 +449,13 @@ def run_pets_wing(trials=50, trial_length=200, seed=0, dt=0.05,
         s[3] = 11.5  # level flight (wing_env.py:26-28)
         return s
 
+    # one compiled dispatch per env step: the un-jitted step fn would
+    # issue every jnp op as its own device round trip, which is ruinous
+    # through the tunneled-TPU harness (~50 ops x RTT per step)
+    _step1 = jax.jit(lambda s, a: wing_step(dyn, s[None], a[None], dt)[0])
+
     def env_step(state, a):
-        return np.asarray(
-            wing_step(dyn, jnp.asarray(state[None]), jnp.asarray(a[None]),
-                      dt)
-        )[0]
+        return np.asarray(_step1(jnp.asarray(state), jnp.asarray(a)))
 
     def status(state, target):
         pos = state[:3]
@@ -551,11 +553,11 @@ def run_pets_quad(trials=50, trial_length=200, seed=0, dt=0.1, speed=0.2,
     )
     rng = np.random.RandomState(seed)
 
+    # single compiled dispatch per step (see run_pets_wing's _step1 note)
+    _step1 = jax.jit(lambda s, a: quad_step(dyn, s[None], a[None], dt)[0])
+
     def env_step(state, a):
-        return np.asarray(
-            quad_step(dyn, jnp.asarray(state[None]), jnp.asarray(a[None]),
-                      dt)
-        )[0]
+        return np.asarray(_step1(jnp.asarray(state), jnp.asarray(a)))
 
     def reset_episode():
         ti = rng.randint(len(prepared))
@@ -691,6 +693,8 @@ def eval_pets_balance(agent, dyn_params, starts, max_steps=250, dt=0.05,
     protocol (every controller family starts from the same states)."""
     from apg_trajectory_tracking_tpu.envs.cartpole_env import env_step
 
+    # single compiled dispatch per step (see run_pets_wing's _step1 note)
+    _step1 = jax.jit(lambda s, a: env_step(dyn_params, s, a, dt))
     steps_list, vels = [], []
     for s0 in np.asarray(starts):
         agent.reset_plan()
@@ -698,9 +702,7 @@ def eval_pets_balance(agent, dyn_params, starts, max_steps=250, dt=0.05,
         steps = 0
         for i in range(max_steps):
             a = agent.act(state)
-            state = np.asarray(
-                env_step(dyn_params, jnp.asarray(state), jnp.asarray(a), dt)
-            )
+            state = np.asarray(_step1(jnp.asarray(state), jnp.asarray(a)))
             vels.append(abs(float(state[1])))
             # latch BEFORE the break so the falling step i still counts,
             # matching evaluate_balance / eval_cartpole_ppo_balance (a
