@@ -595,7 +595,10 @@ def models_table_block(all_results):
         elif source == "wall":
             cell = wide_cell("wall_100", name, 0.5)
         elif source == "quad100":
-            cell = quad100_cell(f"APG {name}")
+            # the head-to-head labels baselines by family, not asset dir
+            cell = quad100_cell(
+                {"quad_ppo_2m": "PPO (2M)"}.get(name, f"APG {name}")
+            )
         elif source == "cartpole":
             cell = cartpole_cell(name)
         else:
@@ -735,6 +738,16 @@ def main():
     section_stamp = {"git_commit": git_commit()}
     readme_blocks = {}
 
+    def checkpoint_stores():
+        """Persist the merged stores NOW — a crash in a later section
+        must not lose completed evaluations."""
+        with open(os.path.join(args.out_dir, "all_results.json"),
+                  "w") as f:
+            json.dump(all_results, f, indent=1)
+        with open(os.path.join(args.out_dir, "tables_manifest.json"),
+                  "w") as f:
+            json.dump(manifest, f, indent=1)
+
     if "quad" in sections:
         rows, n = cb.quad_table(cb_args)
         title = (f"Quadrotor tracking, the FULL {n}-trajectory test bank "
@@ -756,6 +769,7 @@ def main():
                         "speed 0.4, thresh_div 1.0, test-time break",
         }
         readme_blocks["quad_table"] = format_table(rows, cb.QUAD_COLUMNS)
+        checkpoint_stores()
 
     if "wide" in sections:
         sec = wide_section(args)
@@ -771,6 +785,7 @@ def main():
         readme_blocks["wide_table"] = format_table(
             sec["results"], wide_cols,
         )
+        checkpoint_stores()
 
     if "wall" in sections:
         sec = wall_section(args)
@@ -785,6 +800,7 @@ def main():
         readme_blocks["wall_table"] = format_table(
             sec["results"], ("mean_divergence", "ratio_stable"),
         )
+        checkpoint_stores()
 
     if "speeds" in sections:
         sec = speeds_section(args)
@@ -796,6 +812,7 @@ def main():
             "protocol": sec["protocol"],
         }
         readme_blocks["speed_table"] = speed_matrix_table(sec)
+        checkpoint_stores()
 
     if "robustness" in sections:
         sec = robustness_section(args)
@@ -809,6 +826,7 @@ def main():
             "artifact": "docs/robustness_<model>.json",
             "protocol": sec["protocol"],
         }
+        checkpoint_stores()
 
     if "analytic" in sections:
         sec = analytic_section(args)
@@ -820,6 +838,7 @@ def main():
             "artifact": "docs/analytic_refs.json",
             "protocol": sec["protocol"],
         }
+        checkpoint_stores()
 
     if "cartpole" in sections:
         rows, n = cb.cartpole_table(cb_args)
@@ -849,6 +868,7 @@ def main():
             rows, cb.CARTPOLE_COLUMNS)
         readme_blocks["swingup_table"] = format_table(
             su_rows, SWINGUP_COLUMNS)
+        checkpoint_stores()
 
     if "wing" in sections:
         rows, n = cb.wing_table(cb_args)
@@ -872,6 +892,7 @@ def main():
                         "thresh_div 10, max 1000 steps, dt 0.05",
         }
         readme_blocks["wing_table"] = format_table(rows, cb.WING_COLUMNS)
+        checkpoint_stores()
 
     if "models" in sections:
         readme_blocks["models_table"] = models_table_block(all_results)
