@@ -70,6 +70,12 @@ def chip_peaks():
     return None, None
 
 
+# epoch-scan unroll factor (the trainers' promoted configuration). The
+# roofline accounting must divide the scan BODY's cost analysis by this:
+# XLA counts the body once, and with unroll=N the body holds N train steps.
+UNROLL = 2
+
+
 def make_run_iters(step, dyn, iters):
     # The production epoch loop runs all minibatch steps inside ONE jitted
     # lax.scan dispatch (parallel/mesh.py make_sharded_epoch), so the
@@ -84,7 +90,7 @@ def make_run_iters(step, dyn, iters):
             return (n, o), loss
 
         (net, opt_state), losses = jax.lax.scan(
-            body, (net, opt_state), None, length=iters, unroll=2
+            body, (net, opt_state), None, length=iters, unroll=UNROLL
         )
         return net, opt_state, losses[-1]
 
@@ -106,6 +112,11 @@ def cost_of(compiled, iters, dt, peak_flops):
         hbm_bytes = float(ca.get("bytes accessed", 0.0))
         if flops <= 0 or hbm_bytes <= 0:
             return None, None
+        # the unrolled scan body holds UNROLL train steps but XLA counts
+        # it once — normalize to ONE step (verified: r04 reported exactly
+        # 2x the r03 per-step flops after the unroll=2 promotion)
+        flops /= UNROLL
+        hbm_bytes /= UNROLL
         if peak_flops is not None and flops / dt > 2 * peak_flops:
             flops /= iters
             hbm_bytes /= iters
