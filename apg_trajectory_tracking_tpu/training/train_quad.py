@@ -33,6 +33,7 @@ from apg_trajectory_tracking_tpu.data.dataset import (
 )
 from apg_trajectory_tracking_tpu.dynamics.quad import (
     quad_params,
+    quad_step,
     quad_step_fast,
 )
 from apg_trajectory_tracking_tpu.envs.quad_env import full_state_training_data
@@ -330,6 +331,13 @@ class TrainQuad:
         # custom dyn_step supports e.g. action-space ablations (DESIGN.md
         # speed-0.5 analysis) and learnt-dynamics variants
         self.dyn_step = dyn_step
+        # in-training evaluation (and thus best-checkpoint selection) must
+        # run the same reference-exact step as the published evaluators
+        # (run_eval's default), not the pre-combined throughput step — a
+        # custom/ablation step, by contrast, IS the eval subject
+        self.eval_dyn_step = (
+            quad_step if dyn_step is quad_step_fast else dyn_step
+        )
         if self.mode == "concurrent":
             step = build_concurrent_step(
                 dyn_step, self.optimizer, self.dt, self.horizon,
@@ -408,7 +416,7 @@ class TrainQuad:
             self.net, self.eval_dyn, refs, ref_len,
             thresh_div=self.thresh_div, thresh_stable=self.thresh_stable,
             horizon=self.horizon, dt=self.dt, test_time=test_time,
-            mesh=self.mesh, dyn_step=self.dyn_step, **eval_kwargs,
+            mesh=self.mesh, dyn_step=self.eval_dyn_step, **eval_kwargs,
         )
         if not test_time:
             self._self_play_insert(roll)

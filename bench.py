@@ -118,8 +118,12 @@ def cost_of(compiled, iters, dt, peak_flops):
         flops /= UNROLL
         hbm_bytes /= UNROLL
         if peak_flops is not None and flops / dt > 2 * peak_flops:
-            flops /= iters
-            hbm_bytes /= iters
+            # cost analysis multiplied by trip count (iters / UNROLL
+            # trips): after the UNROLL division above we hold
+            # iters / UNROLL steps' worth — normalize by that, not iters
+            # (dividing by iters here would undercount by UNROLL)
+            flops /= iters / UNROLL
+            hbm_bytes /= iters / UNROLL
         return flops, hbm_bytes
     except Exception:
         return None, None

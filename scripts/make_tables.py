@@ -3,7 +3,8 @@
 
     python scripts/make_tables.py            # all sections, full protocol
     python scripts/make_tables.py --sections quad,wide
-    python scripts/make_tables.py --quick    # tiny smoke (CI)
+    python scripts/make_tables.py --quick --out_dir /tmp/smoke   # CI smoke
+                                             # (--quick refuses docs/)
 
 Round-2 verdict: the tables in README/docs had drifted from the newest
 artifacts because each was regenerated ad hoc at a different commit. This
@@ -79,21 +80,6 @@ def load_json(path, default=None):
         with open(path) as f:
             return json.load(f)
     return default
-
-
-def merge_artifact(path, updates, stamp=None):
-    """Merge ``updates`` into an existing JSON artifact instead of
-    clobbering it, so sections can be regenerated independently
-    (``--sections quad`` must not erase the wide/wing entries written by
-    an earlier full run). Each updated key is provenance-stamped."""
-    data = load_json(path, {}) or {}
-    for key, value in updates.items():
-        if stamp is not None and isinstance(value, dict):
-            value = {**value, **stamp}
-        data[key] = value
-    with open(path, "w") as f:
-        json.dump(data, f, indent=1)
-    return data
 
 
 def wide_references(n_eval, dt=0.1, speed=0.4, seed=42,
@@ -617,7 +603,13 @@ def bench_line_block():
     (round-3 verdict: perf prose must trace to a committed artifact)."""
     import glob
 
-    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    def round_no(p):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    # numeric sort: lexicographic would rank r100 below r99
+    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+                     key=round_no)
     if not benches:
         return None
     path = benches[-1]
@@ -688,6 +680,12 @@ def main():
         force_cpu_backend()
 
     if args.quick:
+        if os.path.abspath(args.out_dir) == os.path.join(REPO, "docs"):
+            parser.error(
+                "--quick refuses the committed docs/ out_dir: the merge "
+                "logic would fold n=3 smoke rows into the full-protocol "
+                "stores. Pass an explicit --out_dir (CI uses a temp dir)."
+            )
         args.eval, args.wide_eval, args.wall_eval = 3, 4, 3
         args.cartpole_eval = args.swingup_eval = 3
         args.wing_eval = 3
