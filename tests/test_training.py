@@ -129,3 +129,31 @@ def test_minjerk_mix_option(tmp_path, monkeypatch, tiny_bank):
     # training still works
     loss = t1.run_epoch()
     assert np.isfinite(loss)
+
+
+def test_quad_eval_uses_reference_exact_step(tmp_path, monkeypatch,
+                                             tiny_bank):
+    """Best-checkpoint selection must run the published evaluators' step:
+    the promoted quad_step_fast training default may NOT leak into
+    evaluation (its ~1e-5/step drift can flip rollouts at the divergence
+    threshold and select a different snapshot than the published protocol
+    would) — while an explicitly passed ablation step IS the eval
+    subject."""
+    monkeypatch.chdir(tmp_path)
+    from apg_trajectory_tracking_tpu.dynamics.quad import (
+        quad_step,
+        quad_step_fast,
+    )
+    from apg_trajectory_tracking_tpu.training.train_quad import TrainQuad
+
+    cfg = load_config("quad", {"epoch_size": 16, "self_play": 0})
+    t = TrainQuad(cfg, seed=0, data_dir=tiny_bank)
+    assert t.dyn_step is quad_step_fast  # training: promoted fast path
+    assert t.eval_dyn_step is quad_step  # eval: reference-exact
+
+    def ablation_step(params, state, action, dt):
+        return quad_step(params, state, action, dt)
+
+    t2 = TrainQuad(cfg, seed=0, data_dir=tiny_bank,
+                   dyn_step=ablation_step)
+    assert t2.eval_dyn_step is ablation_step
