@@ -598,6 +598,80 @@ def models_table_block(all_results):
     return "\n".join(lines)
 
 
+ROBUSTNESS_CELLS = (
+    ("baseline (×1.0)", "translational_drag", "1.0"),
+    ("1.9× transl. drag", "translational_drag", "1.9"),
+    ("1.9× rot. drag", "rotational_drag", "1.9"),
+    ("1.3× kinv (rate loop)", "kinv_ang_vel_tau", "1.3"),
+)
+
+
+def robustness_block():
+    """README robustness table from the committed sweep artifacts
+    (docs/robustness_<model>.json — same-rollout err+stable per cell).
+    Only the parameters that actually perturb the closed loop are shown;
+    mass / arm length / frame inertia cancel exactly in the Flightmare
+    model (the preserved reference quirk), which the same-rollout sweep
+    PROVES: their 1.0-1.9× rows are bit-identical to baseline."""
+    from apg_trajectory_tracking_tpu.evaluation.stats import fmt_ci
+
+    rows = []
+    for model_dir in ROBUSTNESS_MODELS:
+        name = os.path.basename(model_dir)
+        sweep = load_json(os.path.join("docs", f"robustness_{name}.json"))
+        if not sweep:
+            continue
+        cells = []
+        for _, param, factor in ROBUSTNESS_CELLS:
+            c = sweep.get(param, {}).get(factor)
+            if c is None:
+                cells.append("—")
+            else:
+                cells.append(
+                    f"{c['err']:.3f} err · "
+                    + fmt_ci(c["stable"], c["stable_ci"], pct=True)
+                    + " stable"
+                )
+        # the cancellation proof: every mass/arm/inertia cell lands on the
+        # x1.0 rollouts — stable ratios exactly equal, err within float32
+        # recompilation noise (different param constants re-jit the eval)
+        base = sweep.get("mass", {}).get("1.0", {})
+        noop = all(
+            v.get("stable") == base.get("stable")
+            and abs(v.get("err", 0) - base.get("err", 0)) < 1e-3
+            for p in ("mass", "arm_length", "frame_inertia")
+            for v in sweep.get(p, {}).values()
+        )
+        cells.append(
+            "no-op (err Δ<1e-3, stable identical)" if noop else "VARIES"
+        )
+        rows.append((name, cells))
+    if not rows:
+        return None
+    header = [c[0] for c in ROBUSTNESS_CELLS] + [
+        "1.0-1.9× mass / arm / inertia"
+    ]
+    n = None
+    for model_dir in ROBUSTNESS_MODELS:
+        sweep = load_json(os.path.join(
+            "docs", f"robustness_{os.path.basename(model_dir)}.json"))
+        if sweep:
+            n = sweep.get("mass", {}).get("1.0", {}).get("n")
+            break
+    lines = ["| model | " + " | ".join(header) + " |",
+             "|" + "---|" * (len(header) + 1)]
+    for name, cells in rows:
+        lines.append(f"| `{name}` | " + " | ".join(cells) + " |")
+    if n:
+        lines.append("")
+        lines.append(
+            f"(n={n} shared full-bank trajectories per cell, same rollouts "
+            "for err and stable; full 1.0→1.9× grids incl. per-cell CIs in "
+            "`docs/robustness_<model>.json`)"
+        )
+    return "\n".join(lines)
+
+
 def bench_line_block():
     """Stamp the README throughput line from the newest BENCH_r*.json
     (round-3 verdict: perf prose must trace to a committed artifact)."""
@@ -900,6 +974,9 @@ def main():
                         "(docs/all_results.json) — wide/wall/quad100/"
                         "cartpole/wing sections",
         }
+        rb = robustness_block()
+        if rb is not None:
+            readme_blocks["robustness_table"] = rb
 
     if "bench" in sections:
         line = bench_line_block()
