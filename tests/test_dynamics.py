@@ -373,3 +373,36 @@ def test_quad_step_fast_matches_quad_step():
     np.testing.assert_allclose(
         np.asarray(g_a), np.asarray(g_b), atol=1e-3, rtol=1e-4
     )
+
+
+def test_quad_mass_arm_inertia_cancel():
+    """The Flightmare model's rate-controlled torque math cancels mass,
+    arm length, and frame inertia exactly (reference quirk preserved —
+    quad_dynamics_flightmare.py computes thrust/mass with thrust ∝ mass
+    and J ω̇ with torques ∝ J): scaling them is a physical no-op, which
+    the README's robustness table asserts (the sweep rows land on the
+    baseline rollouts). kinv / drag DO perturb the step — the real
+    mismatch knobs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from apg_trajectory_tracking_tpu.dynamics.quad import (
+        quad_params,
+        quad_step,
+    )
+
+    rng = np.random.RandomState(3)
+    state = jnp.asarray(rng.randn(16, 12).astype(np.float32) * 0.4)
+    action = jnp.asarray(rng.rand(16, 4).astype(np.float32))
+    base = quad_step(quad_params(), state, action, 0.1)
+    for param in ("mass", "arm_length", "frame_inertia"):
+        scaled = quad_step(quad_params({param: 1.9}), state, action, 0.1)
+        np.testing.assert_allclose(
+            np.asarray(scaled), np.asarray(base), rtol=0, atol=1e-5,
+            err_msg=f"{param}=1.9 should be a no-op",
+        )
+    for param in ("kinv_ang_vel_tau", "translational_drag"):
+        scaled = quad_step(quad_params({param: 1.9}), state, action, 0.1)
+        assert float(jnp.abs(scaled - base).max()) > 1e-4, (
+            f"{param}=1.9 should actually perturb the step"
+        )
