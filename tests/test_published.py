@@ -37,6 +37,20 @@ def generated_blocks():
     return blocks
 
 
+REQUIRED_BLOCKS = {
+    "quad_table", "wide_table", "wall_table", "speed_table",
+    "cartpole_table", "swingup_table", "wing_table", "models_table",
+    "robustness_table", "bench_line",
+}
+
+
+def test_all_required_blocks_present():
+    """A generated block that silently disappears from the README (e.g.
+    a bad marker edit) must fail the suite, not just skip regeneration."""
+    missing = REQUIRED_BLOCKS - set(generated_blocks())
+    assert not missing, f"README lost generated blocks: {sorted(missing)}"
+
+
 def test_generated_blocks_are_filled():
     """Every BEGIN/END GENERATED block must contain real content, not the
     '(regenerate with ...)' placeholder it ships with before a
