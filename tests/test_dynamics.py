@@ -379,18 +379,10 @@ def test_quad_mass_arm_inertia_cancel():
     """The Flightmare model's rate-controlled torque math cancels mass,
     arm length, and frame inertia exactly (reference quirk preserved —
     quad_dynamics_flightmare.py computes thrust/mass with thrust ∝ mass
-    and J ω̇ with torques ∝ J): scaling them is a physical no-op, which
-    the README's robustness table asserts (the sweep rows land on the
-    baseline rollouts). kinv / drag DO perturb the step — the real
-    mismatch knobs."""
-    import numpy as np
-    import jax.numpy as jnp
-
-    from apg_trajectory_tracking_tpu.dynamics.quad import (
-        quad_params,
-        quad_step,
-    )
-
+    and J ω̇ with torques ∝ J): ANY value of these params is a physical
+    no-op (strictly stronger than the README robustness sweep's 1.0-1.9×
+    scale factors, whose rows land on the baseline rollouts). kinv / drag
+    DO perturb the step — the real mismatch knobs."""
     rng = np.random.RandomState(3)
     state = jnp.asarray(rng.randn(16, 12).astype(np.float32) * 0.4)
     action = jnp.asarray(rng.rand(16, 4).astype(np.float32))
