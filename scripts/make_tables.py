@@ -16,6 +16,7 @@ protocols and rewrites, atomically and from the same run:
   * docs/WING_COMPARISON.md       wing waypoint head-to-head
   * docs/wide_protocol_500.json   500-traj independent wide protocol
   * docs/wall_protocol.json       speed-0.5 feasibility-wall protocol
+  * docs/robustness_<model>.json  1.0-1.9x same-rollout parameter sweeps
   * docs/all_results.json         every row of every section, one file
   * docs/tables_manifest.json     protocols + provenance (git commit)
   * README.md                     tables between BEGIN/END GENERATED markers
@@ -724,9 +725,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--sections",
-        default="quad,wide,wall,speeds,analytic,cartpole,wing,models,bench",
-        help="comma list of quad,wide,wall,speeds,analytic,cartpole,wing,"
-             "robustness,models,bench (models/bench only rewrite README "
+        default="quad,wide,wall,speeds,robustness,analytic,cartpole,wing,"
+                "models,bench",
+        help="comma list of quad,wide,wall,speeds,robustness,analytic,"
+             "cartpole,wing,models,bench (models/bench only rewrite README "
              "blocks from the merged results store / newest BENCH "
              "artifact — no new evaluation)")
     parser.add_argument("--quick", action="store_true",
