@@ -146,22 +146,33 @@ def main():
         ms = _median_ms(lambda: mpc.predict_actions(s1, w1), args.n)
         rows.append((label, 1, ms))
 
-        if solver == "adam":  # the batched-teacher path
+        # batched path: the vmapped jitted solve the evaluators/teachers
+        # use (both solvers expose the same solve(dyn, x0, ref, z) shape)
+        if solver == "adam":
             solve = _make_solver(
                 quad_step, _SPECS["flightmare"], horizon, 0.1, iters, 0.1
             )
-            v_solve = jax.jit(jax.vmap(solve, in_axes=(None, 0, 0, 0)))
-            sb = state(args.batch)
-            wb = jnp.concatenate(
-                [window(args.batch, horizon),
-                 jnp.zeros((args.batch, horizon, 3), jnp.float32)], axis=2
+        else:
+            from apg_trajectory_tracking_tpu.controllers.ilqr import (
+                make_ilqr_solver,
             )
-            zb = jnp.zeros((args.batch, horizon, 4), jnp.float32)
-            ms = _median_ms(
-                lambda: v_solve(dyn, sb, wb, zb)[0].block_until_ready(),
-                max(args.n // 10, 10),
+
+            solve = make_ilqr_solver(
+                quad_step, _SPECS["flightmare"], horizon, 0.1,
+                n_iters=iters,
             )
-            rows.append((label, args.batch, ms))
+        v_solve = jax.jit(jax.vmap(solve, in_axes=(None, 0, 0, 0)))
+        sb = state(args.batch)
+        wb = jnp.concatenate(
+            [window(args.batch, horizon),
+             jnp.zeros((args.batch, horizon, 3), jnp.float32)], axis=2
+        )
+        zb = jnp.zeros((args.batch, horizon, 4), jnp.float32)
+        ms = _median_ms(
+            lambda: v_solve(dyn, sb, wb, zb)[0].block_until_ready(),
+            max(args.n // 10, 10),
+        )
+        rows.append((label, args.batch, ms))
 
     # ---- report ------------------------------------------------------------
     print(f"\nPer-step control latency ({device}, median of {args.n}):\n")
