@@ -123,6 +123,7 @@ def evaluate_swingup(
     horizon=10,
     burn_in=100,
     net_apply=cartpole_net_apply,
+    carry0=None,
 ):
     """Swing-up evaluation (evaluate_cartpole.py:264-318).
 
@@ -132,12 +133,20 @@ def evaluate_swingup(
     Also returns mean/std |velocity| post burn-in (the save-model score,
     suc_up_down=-1). ``net_apply(params, states) -> (n, horizon) actions``
     swaps in other controller families (the head-to-head MPC row).
+
+    Stateful controllers (warm-started MPC, recurrent policies) pass
+    ``carry0`` and a ``net_apply(params, states, carry) -> (actions,
+    carry)`` that threads their state through the episode scan.
     """
     states = reset_swingup(key, nr_iters)
+    stateful = carry0 is not None
 
     def body(carry, i):
-        state, upright_ok, vel_sum, vel_sq_sum = carry
-        actions = net_apply(net_params, state)
+        state, upright_ok, vel_sum, vel_sq_sum, ctrl = carry
+        if stateful:
+            actions, ctrl = net_apply(net_params, state, ctrl)
+        else:
+            actions = net_apply(net_params, state)
         a0 = actions.reshape(-1, horizon, 1)[:, 0]
         new_state = env_step(dyn_params, state, a0, dt)
         past_burn = i > burn_in
@@ -148,15 +157,16 @@ def evaluate_swingup(
             upright_ok,
             jnp.logical_or(~past_burn, jnp.abs(new_state[:, 2]) <= 1.0),
         )
-        return (new_state, upright_ok, vel_sum, vel_sq_sum), None
+        return (new_state, upright_ok, vel_sum, vel_sq_sum, ctrl), None
 
     init = (
         states,
         jnp.ones(nr_iters, dtype=bool),
         jnp.zeros(nr_iters),
         jnp.zeros(nr_iters),
+        carry0 if stateful else jnp.zeros(()),
     )
-    (final_state, success, vel_sum, vel_sq_sum), _ = jax.lax.scan(
+    (final_state, success, vel_sum, vel_sq_sum, _), _ = jax.lax.scan(
         body, init, jnp.arange(max_steps)
     )
     n = max_steps - burn_in - 1
@@ -174,9 +184,13 @@ def evaluate_swingup(
 
 def swingup_metrics(net_params, dyn_params, key, nr_iters=10, max_steps=250,
                     dt=0.05, horizon=10, burn_in=100,
-                    net_apply=cartpole_net_apply):
+                    net_apply=cartpole_net_apply, init_carry=None):
     """Host-side swing-up head-to-head row: floats + n + 95% CIs (Wilson
-    on success_rate, bootstrap on mean post-burn-in |velocity|)."""
+    on success_rate, bootstrap on mean post-burn-in |velocity|).
+
+    ``init_carry(states) -> carry0`` marks ``net_apply`` as stateful; it is
+    seeded with the same episode starts the evaluator draws (same key).
+    """
     import numpy as np
 
     from apg_trajectory_tracking_tpu.evaluation.stats import (
@@ -184,9 +198,14 @@ def swingup_metrics(net_params, dyn_params, key, nr_iters=10, max_steps=250,
         wilson_ci,
     )
 
+    carry0 = (
+        init_carry(reset_swingup(key, nr_iters))
+        if init_carry is not None else None
+    )
     raw = evaluate_swingup(
         net_params, dyn_params, key, nr_iters=nr_iters, max_steps=max_steps,
         dt=dt, horizon=horizon, burn_in=burn_in, net_apply=net_apply,
+        carry0=carry0,
     )
     success = np.asarray(raw["success_per_episode"])
     vels = np.asarray(raw["vel_per_episode"])

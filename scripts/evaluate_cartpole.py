@@ -97,6 +97,40 @@ def main():
         }))
         return
 
+    if args.model == "ilqr":
+        # two-start warm iLQR — the MPC that closes swing-up (DESIGN.md §4)
+        from apg_trajectory_tracking_tpu.controllers.ilqr import (
+            make_cartpole_swingup_ilqr,
+        )
+        from apg_trajectory_tracking_tpu.evaluation.cartpole_eval import (
+            swingup_metrics,
+        )
+
+        if not args.swingup:
+            parser.error("-m ilqr evaluates the swing-up protocol: "
+                         "add --swingup (balance MPC is -m mpc)")
+        dyn = cartpole_params({})
+        apply_fn, init_carry = make_cartpole_swingup_ilqr(dyn)
+
+        def eval_ilqr(modified_params):
+            plant = cartpole_params(modified_params)
+            return swingup_metrics(
+                None, plant, jax.random.PRNGKey(42), nr_iters=args.eval,
+                net_apply=apply_fn, horizon=60, init_carry=init_carry,
+            )
+
+        if args.sweep:
+            keys = {
+                k: v for k, v in DEFAULT_CARTPOLE_CFG.items()
+                if k in ("masscart", "masspole", "length", "max_force_mag",
+                         "friction")
+            }
+            print(json.dumps(param_sweep(eval_ilqr, keys), indent=1,
+                             default=float))
+            return
+        print(json.dumps(eval_ilqr({}), default=float))
+        return
+
     model_path = resolve_model_dir(args.model, "cartpole")
     net, cfg = load_cartpole_controller(model_path, args.epoch)
     dt, horizon = cfg["delta_t"], cfg["horizon"]

@@ -435,6 +435,19 @@ def swingup_section(args):
             net_apply=make_cartpole_mpc_apply(mpc), horizon=30,
         )
         print("swingup MPC", json.dumps(rows["MPC (adam, h=30)"]))
+        # two-start warm iLQR closes the swing-up the shooting MPC cannot
+        # (controllers/ilqr.py::make_cartpole_swingup_ilqr, DESIGN.md §4)
+        from apg_trajectory_tracking_tpu.controllers.ilqr import (
+            make_cartpole_swingup_ilqr,
+        )
+
+        ilqr_apply, ilqr_init = make_cartpole_swingup_ilqr(dyn)
+        rows["MPC (iLQR two-start, h=60, warm)"] = swingup_metrics(
+            None, dyn, key, nr_iters=n,
+            net_apply=ilqr_apply, horizon=60, init_carry=ilqr_init,
+        )
+        print("swingup iLQR",
+              json.dumps(rows["MPC (iLQR two-start, h=60, warm)"]))
     return rows, n
 
 

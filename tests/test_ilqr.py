@@ -91,3 +91,44 @@ def test_batched_mpc_solvers_vmap():
         np.testing.assert_allclose(
             np.asarray(u_b[i]), np.asarray(u_i), atol=2e-5
         )
+
+
+def test_lqr_gains_stabilize_upright():
+    """lqr_gains: the closed-loop linearization A - B K is Schur stable
+    and P is positive definite (it is the infinite-horizon cost-to-go)."""
+    import jax
+    from apg_trajectory_tracking_tpu.controllers.ilqr import lqr_gains
+
+    dyn = cartpole_params()
+    K, P = lqr_gains(
+        cartpole_step, dyn, 0.05, (0.01, 0.05, 10.0, 0.5), (0.01,), 4, 1
+    )
+    f = lambda s, u: cartpole_step(dyn, s[None], u[None], 0.05)[0]
+    A = np.asarray(jax.jacfwd(lambda s: f(s, jnp.zeros(1)))(jnp.zeros(4)))
+    B = np.asarray(jax.jacfwd(lambda u: f(jnp.zeros(4), u))(jnp.zeros(1)))
+    eig = np.linalg.eigvals(A - B @ np.asarray(K))
+    assert np.max(np.abs(eig)) < 1.0, eig
+    assert np.all(np.linalg.eigvalsh(np.asarray(P)) > 0.0)
+
+
+def test_ilqr_swingup_solves_protocol():
+    """The two-start warm iLQR solves the swing-up protocol the shooting
+    MPC cannot (DESIGN.md §4): 100% success from hanging starts, quiet
+    post-swing balance."""
+    import jax
+    from apg_trajectory_tracking_tpu.controllers.ilqr import (
+        make_cartpole_swingup_ilqr,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.cartpole_eval import (
+        swingup_metrics,
+    )
+
+    dyn = cartpole_params()
+    apply_fn, init_carry = make_cartpole_swingup_ilqr(dyn)
+    m = swingup_metrics(
+        None, dyn, jax.random.PRNGKey(3), nr_iters=4,
+        net_apply=apply_fn, horizon=60, init_carry=init_carry,
+    )
+    assert m["success_rate"] == 1.0, m
+    assert m["mean_final_angle"] < 0.1, m
+    assert m["mean_vel"] < 1.0, m
