@@ -132,7 +132,7 @@ def make_sharded_epoch(mesh, step_fn, n_data=2, dyn_arg=True, donate=False,
             returned state back in, so they opt in (a measured ~0.5-3%
             win, scripts/perf_ab.py); callers that reuse the same input
             arrays across calls must keep the default.
-        unroll: minibatch-scan unroll factor (2 in the trainers — the
+        unroll: minibatch-scan unroll factor (4 in the trainers — the
             measured win of the outer-scan unroll lever, perf_ab.py).
     Returns:
         jitted ``(params, opt_state, [dyn,] *data, idx) -> (params,

@@ -141,7 +141,7 @@ class TrainCartpole:
         )
         self._train_epoch = make_sharded_epoch(
             self.mesh, self._step, n_data=1, dyn_arg=False, donate=True,
-            unroll=2,
+            unroll=4,
         )
 
         self.save_path = os.path.join("trained_models", "cartpole", save_name)

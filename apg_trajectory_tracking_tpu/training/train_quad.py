@@ -350,7 +350,7 @@ class TrainQuad:
                 lstm_hidden=getattr(self, "lstm_hidden", 8),
             )
         self._train_epoch = make_sharded_epoch(
-            self.mesh, step, donate=True, unroll=2
+            self.mesh, step, donate=True, unroll=4
         )
 
         if not 0.0 <= float(minjerk_mix) <= 1.0:

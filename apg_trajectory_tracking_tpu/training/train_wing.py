@@ -156,7 +156,7 @@ class TrainWing:
             self.mean, self.std,
         )
         self._train_epoch = make_sharded_epoch(
-            self.mesh, step, donate=True, unroll=2
+            self.mesh, step, donate=True, unroll=4
         )
 
         self.save_path = os.path.join("trained_models", "wing", save_name)

@@ -70,10 +70,12 @@ def chip_peaks():
     return None, None
 
 
-# epoch-scan unroll factor (the trainers' promoted configuration). The
-# roofline accounting must divide the scan BODY's cost analysis by this:
-# XLA counts the body once, and with unroll=N the body holds N train steps.
-UNROLL = 2
+# epoch-scan unroll factor (the trainers' promoted configuration; unroll=4
+# measured +2.8% over unroll=2, unroll=8 +0.4% more — within noise, so 4 —
+# docs/perf_ab_4096.json). The roofline accounting must divide the scan
+# BODY's cost analysis by this: XLA counts the body once, and with
+# unroll=N the body holds N train steps.
+UNROLL = 4
 
 
 def make_run_iters(step, dyn, iters):
@@ -81,7 +83,7 @@ def make_run_iters(step, dyn, iters):
     # lax.scan dispatch (parallel/mesh.py make_sharded_epoch), so the
     # benchmark iterates on device too — a per-step host dispatch would
     # measure the axon tunnel's round-trip latency, not the chip.
-    # Donated (net, opt_state) buffers and unroll=2 mirror the trainers'
+    # Donated (net, opt_state) buffers and unroll=4 mirror the trainers'
     # promoted epoch configuration (scripts/perf_ab.py, DESIGN.md §2).
     def run_iters(net, opt_state, states, refs):
         def body(carry, _):
@@ -187,7 +189,7 @@ def main():
     opt_state = optimizer.init(net)
     dyn = quad_params()
     # quad_step_fast is the promoted production training step (perf_ab.py
-    # within-session A/B: fast+donate+unroll2 = +5.7% over the round-3
+    # within-session A/B: fast+donate+unroll4 = +5.4% over the round-3
     # path at batch 4096; parity pinned in tests/test_dynamics.py)
     step = build_concurrent_step(quad_step_fast, optimizer, 0.1, HORIZON, 4)
 
@@ -197,8 +199,11 @@ def main():
     primary = None
     for batch in ROOFLINE_BATCHES:
         # fewer on-device iterations at the big batches keeps total bench
-        # time bounded without changing the per-step measurement
-        iters = 50 if batch <= 4096 else 20
+        # time bounded without changing the per-step measurement; keep
+        # iters a multiple of UNROLL so the scan has no epilogue trip
+        # (a remainder body would be counted in the cost analysis and
+        # break the /UNROLL per-step normalization)
+        iters = 48 if batch <= 4096 else 20
         repeats = 8 if batch <= 4096 else 4
         dt, flops, hbm_bytes = measure(
             step, dyn, net, opt_state, batch, iters, repeats, peak_flops

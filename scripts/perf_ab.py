@@ -14,6 +14,9 @@ medians-of-min per variant:
   halfsplit    two independent half-batch grad computations averaged before
                one update — offers the scheduler two independent dependence
                chains to interleave (issue-latency hiding experiment)
+  fast_donate_unrollN (N=2,4,8)
+               N SGD iterations per outer-scan loop trip — amortizes the
+               iteration-scan bookkeeping (plateau measured at N=4)
 
 Usage: python scripts/perf_ab.py [--batch 4096] [--iters 50] [--rounds 5]
 """
@@ -145,11 +148,20 @@ def main():
             donate=True,
         ),
         "halfsplit": make_run_iters(build_halfsplit_step(quad_step_fast)),
-        # outer-loop unroll: two SGD iterations per while-loop trip —
-        # halves the iteration-scan overhead if that overhead is real
+        # outer-loop unroll: N SGD iterations per while-loop trip —
+        # divides the iteration-scan overhead by N if that overhead is
+        # real; diminishing returns expected once overhead amortizes
         "fast_donate_unroll2": make_run_iters(
             build_concurrent_step(quad_step_fast, optimizer, 0.1, HORIZON, 4),
             donate=True, unroll=2,
+        ),
+        "fast_donate_unroll4": make_run_iters(
+            build_concurrent_step(quad_step_fast, optimizer, 0.1, HORIZON, 4),
+            donate=True, unroll=4,
+        ),
+        "fast_donate_unroll8": make_run_iters(
+            build_concurrent_step(quad_step_fast, optimizer, 0.1, HORIZON, 4),
+            donate=True, unroll=8,
         ),
     }
 
