@@ -174,6 +174,25 @@ def main():
         )
         rows.append((label, args.batch, ms))
 
+    # ---- cartpole swing-up two-start iLQR (DESIGN.md §4): per-decision ----
+    # ---- cost of the doubled h=60 solve in the 20 Hz cartpole loop --------
+    from apg_trajectory_tracking_tpu.controllers.ilqr import (
+        make_cartpole_swingup_ilqr,
+    )
+    from apg_trajectory_tracking_tpu.dynamics.cartpole import cartpole_params
+    from apg_trajectory_tracking_tpu.envs.cartpole_env import reset_swingup
+
+    cp_dyn = cartpole_params()
+    su_apply, su_init = make_cartpole_swingup_ilqr(cp_dyn)
+    jit_su = jax.jit(su_apply)
+    s1 = reset_swingup(jax.random.PRNGKey(0), 1)
+    z1 = su_init(s1)
+    ms = _median_ms(
+        lambda: jit_su(None, s1, z1)[0].block_until_ready(),
+        max(args.n // 2, 10),
+    )
+    rows.append(("MPC iLQR swing-up two-start h=60 (cartpole)", 1, ms))
+
     # ---- report ------------------------------------------------------------
     print(f"\nPer-step control latency ({device}, median of {args.n}):\n")
     print("| controller | batch | latency/step | per-env | steps/s/env |")
