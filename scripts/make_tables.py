@@ -262,8 +262,8 @@ def robustness_section(args):
     (evaluate_base.py:68-114) for the champion models, regenerating
     docs/robustness_<model>.json — err and stable drawn from the same
     rollouts, fixed trajectory draw shared across every (param, factor)
-    cell. Not in the default section list (5 params x 10 factors x 2
-    models = 100 evals); run with --sections robustness."""
+    cell. In the default section list since round 4 (5 params x 10
+    factors per model; --robustness_eval trajectories per cell)."""
     import jax.numpy as jnp
 
     import compare_baselines as cb

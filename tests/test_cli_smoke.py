@@ -98,6 +98,19 @@ def test_evaluate_cartpole(monkeypatch, capsys):
     assert "live replay: 8 frames" in out
 
 
+def test_evaluate_cartpole_ilqr_swingup(monkeypatch, capsys):
+    """'-m ilqr --swingup': the two-start iLQR through the user CLI (the
+    solver that closes swing-up, DESIGN.md §4)."""
+    out = _run(
+        "evaluate_cartpole",
+        ["evaluate_cartpole.py", "-m", "ilqr", "--swingup", "-a", "2"],
+        monkeypatch, capsys,
+    )
+    metrics = json.loads(out[out.rindex("{"):])
+    assert metrics["success_rate"] == 1.0
+    assert metrics["mean_final_angle"] < 0.1
+
+
 def test_evaluate_wing(monkeypatch, capsys):
     out = _run(
         "evaluate_wing",
