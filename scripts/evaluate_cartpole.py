@@ -97,20 +97,29 @@ def main():
         }))
         return
 
-    if args.model == "ilqr":
-        # two-start warm iLQR — the MPC that closes swing-up (DESIGN.md §4)
-        from apg_trajectory_tracking_tpu.controllers.ilqr import (
-            make_cartpole_swingup_ilqr,
-        )
+    if args.model in ("ilqr", "cem"):
+        # the two solver families that close swing-up (DESIGN.md §4):
+        # two-start warm iLQR and the derivative-free CEM counterpart
         from apg_trajectory_tracking_tpu.evaluation.cartpole_eval import (
             swingup_metrics,
         )
 
         if not args.swingup:
-            parser.error("-m ilqr evaluates the swing-up protocol: "
-                         "add --swingup (balance MPC is -m mpc)")
+            parser.error(f"-m {args.model} evaluates the swing-up "
+                         "protocol: add --swingup (balance MPC is -m mpc)")
         dyn = cartpole_params({})
-        apply_fn, init_carry = make_cartpole_swingup_ilqr(dyn)
+        if args.model == "ilqr":
+            from apg_trajectory_tracking_tpu.controllers.ilqr import (
+                make_cartpole_swingup_ilqr,
+            )
+
+            apply_fn, init_carry = make_cartpole_swingup_ilqr(dyn)
+        else:
+            from apg_trajectory_tracking_tpu.controllers.cem import (
+                make_cartpole_swingup_cem,
+            )
+
+            apply_fn, init_carry = make_cartpole_swingup_cem(dyn)
 
         def eval_ilqr(modified_params):
             plant = cartpole_params(modified_params)

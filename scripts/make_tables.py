@@ -448,6 +448,19 @@ def swingup_section(args):
         )
         print("swingup iLQR",
               json.dumps(rows["MPC (iLQR two-start, h=60, warm)"]))
+        # ... and the sampling solver family (controllers/cem.py) solves
+        # it too with the same cost family + two-start structure
+        from apg_trajectory_tracking_tpu.controllers.cem import (
+            make_cartpole_swingup_cem,
+        )
+
+        cem_apply, cem_init = make_cartpole_swingup_cem(dyn)
+        rows["MPC (CEM two-start, h=60, warm)"] = swingup_metrics(
+            None, dyn, key, nr_iters=n,
+            net_apply=cem_apply, horizon=60, init_carry=cem_init,
+        )
+        print("swingup CEM",
+              json.dumps(rows["MPC (CEM two-start, h=60, warm)"]))
     return rows, n
 
 

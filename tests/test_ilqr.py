@@ -132,3 +132,27 @@ def test_ilqr_swingup_solves_protocol():
     assert m["success_rate"] == 1.0, m
     assert m["mean_final_angle"] < 0.1, m
     assert m["mean_vel"] < 1.0, m
+
+
+def test_cem_swingup_solves_protocol():
+    """The sampling solver family (controllers/cem.py) also solves
+    swing-up: same cost family + two-start structure as the iLQR, no
+    derivatives."""
+    import jax
+    from apg_trajectory_tracking_tpu.controllers.cem import (
+        make_cartpole_swingup_cem,
+    )
+    from apg_trajectory_tracking_tpu.evaluation.cartpole_eval import (
+        swingup_metrics,
+    )
+
+    dyn = cartpole_params()
+    apply_fn, init_carry = make_cartpole_swingup_cem(
+        dyn, n_samples=200, n_elites=20
+    )
+    m = swingup_metrics(
+        None, dyn, jax.random.PRNGKey(5), nr_iters=4,
+        net_apply=apply_fn, horizon=60, init_carry=init_carry,
+    )
+    assert m["success_rate"] == 1.0, m
+    assert m["mean_final_angle"] < 0.1, m
