@@ -42,10 +42,13 @@ def make_cem_solver(dyn_step, horizon, dt, traj_cost, u_dim,
             whole-trajectory cost (terminal weighting is the caller's
             business — contrast the per-step ``cost_fn`` of the iLQR).
     Returns:
-        ``solve(key, dyn_params, x0, mean) -> (mean, elite_cost)`` where
+        ``solve(key, dyn_params, x0, mean) -> (mean, cost)`` where
         ``mean`` is the optimized action-sequence mean (the receding-
         horizon controller executes ``mean[0]`` and warm-starts the next
-        call with the shifted mean).
+        call with the shifted mean) and ``cost`` is the evaluated cost of
+        that RETURNED mean — one extra rollout after the refit, so
+        two-start comparisons score the plan that actually executes, not
+        the best sample of the last iteration.
     """
 
     def rollout(dyn_params, x0, us):
@@ -72,11 +75,13 @@ def make_cem_solver(dyn_step, horizon, dt, traj_cost, u_dim,
             new_std = jnp.maximum(jnp.std(elites, axis=0), std_floor)
             return (key, new_mean, new_std), costs[elite_idx[0]]
 
-        (_, mean, _), elite_costs = jax.lax.scan(
+        (_, mean, _), _ = jax.lax.scan(
             it, (key, mean, jnp.full((horizon, u_dim), std0)), None,
             length=n_iters,
         )
-        return mean, elite_costs[-1]
+        # score the post-refit mean itself (it is what executes)
+        c_mean = traj_cost(rollout(dyn_params, x0, mean), mean)
+        return mean, c_mean
 
     return solve
 
@@ -145,11 +150,21 @@ def make_cartpole_swingup_cem(dyn_params, horizon=60, dt=0.05,
         u_plan, means_next = jax.vmap(one)(keys, states, means)
         return u_plan[:, :, 0], (means_next, key)
 
-    def init_carry(states):
+    def init_carry(states, key=None):
         n = states.shape[0]
+        if key is None:
+            # derive the sampling stream from the episode batch's initial
+            # states, so repeated evaluations with different reset draws
+            # are independent samples of the controller's stochasticity
+            bits = jax.lax.bitcast_convert_type(
+                jnp.asarray(states, jnp.float32), jnp.uint32
+            )
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(0), jnp.sum(bits, dtype=jnp.uint32)
+            )
         return (
             jnp.zeros((n, horizon, 1), jnp.float32),
-            jax.random.PRNGKey(0),
+            key,
         )
 
     return apply_fn, init_carry

@@ -200,13 +200,26 @@ def lqr_gains(dyn_step, dyn_params, dt, q_diag, r_diag, x_dim, u_dim,
     R = np.diag(np.asarray(r_diag, np.float64))
     P = Q.copy()
     K = np.zeros((u_dim, x_dim))
+    delta = np.inf
     for _ in range(max_iters):
         K = np.linalg.solve(R + B.T @ P @ B, B.T @ P @ A)
         P_new = Q + A.T @ P @ (A - B @ K)
-        if np.max(np.abs(P_new - P)) < tol:
-            P = P_new
-            break
+        delta = np.max(np.abs(P_new - P))
         P = P_new
+        if delta < tol:
+            break
+    else:
+        # runs once host-side at controller build time: a marginally
+        # stabilizable or badly scaled (A, B) would otherwise degrade the
+        # terminal cost / hold gains with no visible cause
+        import warnings
+
+        warnings.warn(
+            f"lqr_gains: Riccati iteration did not converge in "
+            f"{max_iters} iterations (last |P_new - P|_inf = {delta:.3g}); "
+            "terminal cost and hold gains may be inaccurate",
+            RuntimeWarning,
+        )
     return jnp.asarray(K, jnp.float32), jnp.asarray(P, jnp.float32)
 
 
