@@ -1,11 +1,15 @@
 """Adaptation experiments: dynamics mismatch -> fit residual -> retrain
 controller against the adapted model.
 
-The three reference experiment drivers:
-  * cartpole 'adapt' with wind=0.5 (train_cartpole.py:245-263, -t adapt);
-  * quad train_dynamics (train_drone.py:260-279);
-  * wing train_dynamics (train_fixed_wing.py:216-237);
-plus the run_dynamics alternation schedule (train_base.py:334-375).
+The three reference experiment drivers, each implemented below:
+  * cartpole 'adapt' with wind=0.5 (train_cartpole.py:245-263, -t adapt)
+    -> :class:`TrainCartpoleAdapt`;
+  * quad train_dynamics (train_drone.py:260-279) -> :class:`TrainQuadAdapt`;
+  * wing train_dynamics (train_fixed_wing.py:216-237)
+    -> :class:`TrainWingAdapt`;
+plus the run_dynamics alternation schedule (train_base.py:334-375) and,
+for the wing, the sampling fine-tune leg (train_fixed_wing.py:240-262) via
+``TrainWing(eval_modified_params=...)``.
 """
 
 import numpy as np
@@ -22,6 +26,7 @@ from apg_trajectory_tracking_tpu.dynamics.learnt import (
 )
 from apg_trajectory_tracking_tpu.models import cartpole_net_apply
 from apg_trajectory_tracking_tpu.training.common import (
+    load_config,
     shuffled_batches,
 )
 from apg_trajectory_tracking_tpu.training.dynamics_fit import (
@@ -429,6 +434,250 @@ class TrainQuadAdapt:
         target = quad_step(inner.eval_dyn, states, actions, inner.dt)
         adapted = quad_learnt_step(self.ld, states, actions, inner.dt)
         analytic = quad_step(inner.train_dyn, states, actions, inner.dt)
+        return (
+            float(jnp.mean(jnp.abs(adapted - target))),
+            float(jnp.mean(jnp.abs(analytic - target))),
+        )
+
+
+# ---------------------------------------------------------------------------
+# wing adaptation (train_fixed_wing.py:216-237)
+# ---------------------------------------------------------------------------
+
+from apg_trajectory_tracking_tpu.dynamics.fixed_wing import (  # noqa: E402
+    wing_step,
+)
+from apg_trajectory_tracking_tpu.dynamics.learnt import (  # noqa: E402
+    make_learnt_wing,
+)
+
+
+def wing_learnt_step(ld, states, actions, dt):
+    return _generic_learnt_step(wing_step, ld, states, actions, dt)
+
+
+class TrainWingAdapt:
+    """Wing dynamics-adaptation experiment (train_fixed_wing.py:216-237):
+    fit a learnt wing model (trainable aero coefficients + residual MLP,
+    fixed_wing_dynamics.py:270-326) to a mismatched plant on one-step
+    transitions driven by the current controller, then keep training the
+    controller against the adapted model. Eval rollouts + self-play run in
+    the LEARNT env (the reference's ``sample_in='train_env'``,
+    train_fixed_wing.py:224); ``evaluate_mismatched`` checks the true
+    plant. The reference raises the divergence thresholds for this
+    experiment so the tracking error is reliable
+    (train_fixed_wing.py:226-227) — mirrored by the config defaults here.
+    """
+
+    def __init__(
+        self,
+        config=None,
+        modified_params=None,
+        base_model=None,
+        train_base_params=False,
+        seed=0,
+        save_name="adapt_wing",
+    ):
+        from apg_trajectory_tracking_tpu.data.dataset import (
+            wing_prepare_data,
+        )
+        from apg_trajectory_tracking_tpu.models import control_net_apply
+        from apg_trajectory_tracking_tpu.parallel.mesh import (
+            make_sharded_epoch,
+            replicate,
+        )
+        from apg_trajectory_tracking_tpu.training.train_wing import (
+            TrainWing,
+            build_wing_step,
+        )
+
+        cfg = dict(load_config("wing") if config is None else config)
+        # thresh_div_start=20 / thresh_stable_start=1.5
+        # (train_fixed_wing.py:226-227)
+        cfg.setdefault("thresh_div_start", 20)
+        cfg["thresh_div_start"] = max(cfg["thresh_div_start"], 20)
+        cfg["thresh_stable_start"] = max(cfg["thresh_stable_start"], 1.5)
+        modified_params = modified_params or {"CL_alpha": 3.0, "CD0": 0.15}
+        self.inner = inner = TrainWing(
+            cfg, seed=seed, save_name=save_name,
+            eval_modified_params=modified_params, base_model=base_model,
+        )
+        cfg = inner.config
+        # a base_model restore re-loads its own curriculum thresholds;
+        # re-raise them for the adapt experiment (train_fixed_wing.py:226)
+        inner.thresh_div = max(inner.thresh_div, 20.0)
+        inner.thresh_stable = max(inner.thresh_stable, 1.5)
+
+        inner.key, k_ld = jax.random.split(inner.key)
+        self.ld, _ = make_learnt_wing(k_ld, std=1e-4)
+        self.dyn_optimizer = masked_dynamics_optimizer(
+            cfg["learning_rate_dynamics"], self.ld,
+            train_base=train_base_params,
+        )
+        self.dyn_opt_state = self.dyn_optimizer.init(self.ld)
+
+        fit_step = build_dynamics_fit_step(
+            wing_learnt_step, wing_step, self.dyn_optimizer, inner.dt,
+            l2_lambda=cfg.get("l2_lambda", 0.0),
+        )
+        horizon = inner.horizon
+        mean, std = inner.mean, inner.std
+        dt = inner.dt
+
+        def fit_epoch(ld, opt, evalp, net, states, refs, idx):
+            # actions from the current controller on the buffer rows
+            # (train_base.py:163-168)
+            normed, _, rel_ref, _ = wing_prepare_data(
+                states, refs, mean, std, dt=dt, horizon=horizon
+            )
+            logits = control_net_apply(net, normed, rel_ref)
+            acts = jax.nn.sigmoid(logits).reshape(-1, horizon, 4)[:, 0]
+
+            def body(carry, i):
+                ld_, opt_ = carry
+                ld_, opt_, loss = fit_step(
+                    ld_, opt_, evalp, states[i], acts[i]
+                )
+                return (ld_, opt_), loss
+
+            (ld, opt), losses = jax.lax.scan(body, (ld, opt), idx)
+            return ld, opt, jnp.mean(losses)
+
+        self._fit_epoch = jax.jit(fit_epoch)
+
+        # controller epoch against the learnt dynamics, on the trainer's
+        # mesh (the ld pytree rides the replicated dyn slot)
+        ctrl_step = build_wing_step(
+            wing_learnt_step, inner.optimizer, inner.dt_train, dt, horizon,
+            mean, std,
+        )
+        self.ld = replicate(inner.mesh, self.ld)
+        self.dyn_opt_state = replicate(inner.mesh, self.dyn_opt_state)
+        self._ctrl_epoch_learnt = make_sharded_epoch(inner.mesh, ctrl_step)
+
+        # best-by-criterion selection in the LEARNT env (the reference's
+        # save_model call inside evaluate_model, which under
+        # sample_in='train_env' also scores in the learnt env)
+        self.best_err = float("inf")
+        self.best_net = inner.net
+
+    def run_dynamics_epoch(self):
+        inner = self.inner
+        inner.key, k = jax.random.split(inner.key)
+        idx = shuffled_batches(
+            k, len(inner.buffers.states), inner.batch_size
+        )
+        self.ld, self.dyn_opt_state, loss = self._fit_epoch(
+            self.ld, self.dyn_opt_state, inner.eval_dyn, inner.net,
+            inner.buffers.states, inner.buffers.refs, idx,
+        )
+        loss = float(loss)
+        inner.logger.log("loss_dyn", loss)
+        return loss
+
+    def run_controller_epoch_learnt(self):
+        inner = self.inner
+        inner.key, k = jax.random.split(inner.key)
+        idx = shuffled_batches(
+            k, len(inner.buffers.states), inner.batch_size
+        )
+        inner.net, inner.opt_state, loss = self._ctrl_epoch_learnt(
+            inner.net, inner.opt_state, self.ld,
+            inner.buffers.states, inner.buffers.refs, idx,
+        )
+        loss = float(loss)
+        inner.logger.log("loss", loss)
+        return loss
+
+    def evaluate(self, epoch, nr_test=10):
+        """Rollouts in the LEARNT env (sample_in='train_env'); self-play
+        states come from the model the controller trains against."""
+        from apg_trajectory_tracking_tpu.evaluation.wing_eval import run_eval
+
+        inner = self.inner
+        inner.key, k = jax.random.split(inner.key)
+        metrics, roll, targets = run_eval(
+            inner.net, self.ld, k, inner.mean, inner.std,
+            nr_test=nr_test, thresh_div=inner.thresh_div,
+            thresh_stable=inner.thresh_stable, horizon=inner.horizon,
+            dt=inner.dt, dyn_step=wing_learnt_step, mesh=inner.mesh,
+        )
+        inner._self_play_insert(roll, targets)
+        inner.logger.log_dict(metrics)
+        return metrics
+
+    def evaluate_mismatched(self, nr_test=5, test_time=True):
+        """True-plant check: fly to waypoints in the mismatched dynamics."""
+        from apg_trajectory_tracking_tpu.evaluation.wing_eval import run_eval
+
+        inner = self.inner
+        inner.key, k = jax.random.split(inner.key)
+        metrics, _, _ = run_eval(
+            inner.net, inner.eval_dyn, k, inner.mean, inner.std,
+            nr_test=nr_test, thresh_div=inner.thresh_div,
+            thresh_stable=inner.thresh_stable, horizon=inner.horizon,
+            dt=inner.dt, test_time=test_time, mesh=inner.mesh,
+        )
+        return metrics
+
+    def run_dynamics(self, nr_epochs=None, train_dyn_for_epochs=None,
+                     train_dyn_every=1, verbose=True):
+        """Alternation schedule (train_base.py:334-375)."""
+        cfg = self.inner.config
+        nr_epochs = nr_epochs or cfg["nr_epochs"]
+        train_dyn_for_epochs = (
+            train_dyn_for_epochs
+            if train_dyn_for_epochs is not None
+            else cfg.get("train_dyn_for_epochs", 5)
+        )
+        for epoch in range(nr_epochs):
+            res = self.evaluate(epoch)
+            # score the controller once the dynamics fit has converged —
+            # earlier evals run against a still-moving learnt model
+            if epoch > train_dyn_for_epochs and (
+                res["mean_success"] < self.best_err
+            ):
+                self.best_err = res["mean_success"]
+                self.best_net = self.inner.net
+            if (
+                epoch <= train_dyn_for_epochs
+                and epoch % train_dyn_every == 0
+            ):
+                loss = self.run_dynamics_epoch()
+                what = "dynamics"
+            else:
+                loss = self.run_controller_epoch_learnt()
+                what = "controller"
+            if verbose:
+                print(
+                    f"Epoch {epoch} [{what}]: loss {loss:.3f} "
+                    f"err {res['mean_success']:.3f}"
+                )
+        # final eval so the last controller epoch can still win selection
+        res = self.evaluate(nr_epochs)
+        if res["mean_success"] < self.best_err:
+            self.best_err = res["mean_success"]
+            self.best_net = self.inner.net
+        self.inner.finalize()
+        return self
+
+    def dynamics_gap(self, n=256, key=None):
+        """(adapted error, analytic error) one-step vs the mismatched
+        plant, on a cruise-flight state distribution."""
+        inner = self.inner
+        if key is None:
+            inner.key, key = jax.random.split(inner.key)
+        k1, k2 = jax.random.split(key)
+        base = jnp.zeros((n, 12), dtype=jnp.float32).at[:, 3].set(11.5)
+        scale = jnp.asarray(
+            [5.0, 2.0, 2.0, 1.5, 0.5, 0.5, 0.2, 0.2, 0.2, 0.3, 0.3, 0.3],
+            dtype=jnp.float32,
+        )
+        states = base + jax.random.normal(k1, (n, 12)) * scale
+        actions = jax.random.uniform(k2, (n, 4))
+        target = wing_step(inner.eval_dyn, states, actions, inner.dt)
+        adapted = wing_learnt_step(self.ld, states, actions, inner.dt)
+        analytic = wing_step(inner.train_dyn, states, actions, inner.dt)
         return (
             float(jnp.mean(jnp.abs(adapted - target))),
             float(jnp.mean(jnp.abs(analytic - target))),

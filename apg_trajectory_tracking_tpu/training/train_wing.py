@@ -85,8 +85,8 @@ def build_wing_step(dyn_step, optimizer, dt_train, dt, horizon, mean, std):
 
 class TrainWing:
     def __init__(self, config=None, seed=0, save_name="test",
-                 modified_params=None, base_model=None, tensorboard=False,
-                 mesh=None):
+                 modified_params=None, eval_modified_params=None,
+                 base_model=None, tensorboard=False, mesh=None):
         self.config = cfg = dict(config or load_config("wing"))
         self.dt = cfg["delta_t"]
         self.dt_train = cfg.get("delta_t_train", self.dt)
@@ -97,7 +97,13 @@ class TrainWing:
 
         mp = modified_params or cfg.get("modified_params", {})
         self.train_dyn = wing_params(mp)
-        self.eval_dyn = wing_params(mp)
+        # eval_modified_params != None is the sampling fine-tune leg
+        # (train_fixed_wing.py:240-262, sample_in='eval_env'): the
+        # controller trains against the analytic model while eval rollouts
+        # AND self-play states come from the mismatched plant
+        self.eval_dyn = wing_params(
+            eval_modified_params if eval_modified_params is not None else mp
+        )
 
         self.rng = np.random.RandomState(seed)
         self.key = jax.random.PRNGKey(seed)
@@ -135,8 +141,14 @@ class TrainWing:
         # exploration flights (wing_env.py:112-162)
         n_sampled = max(cfg["epoch_size"], 1)
         n_sp = int(cfg["self_play"])
+        # under sample_in='eval_env' the exploration flights also come
+        # from the mismatched plant (train_fixed_wing.py:40-45)
+        sample_dyn = (
+            self.eval_dyn if eval_modified_params is not None
+            else self.train_dyn
+        )
         states, refs = sample_training_data(
-            self.rng, n_sampled + n_sp, dt=self.dt, params=self.train_dyn
+            self.rng, n_sampled + n_sp, dt=self.dt, params=sample_dyn
         )
         self.buffers = make_wing_buffers(states, refs, n_sp)
 

@@ -66,6 +66,62 @@ def test_run_dynamics_alternation(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_wing_adapt_closes_gap(tmp_path, monkeypatch):
+    """Wing residual fitting shrinks the one-step gap to a plant with
+    perturbed aero coefficients, and the alternation trains the controller
+    against the adapted model (train_fixed_wing.py:216-237)."""
+    monkeypatch.chdir(tmp_path)
+    from apg_trajectory_tracking_tpu.training.adapt import TrainWingAdapt
+
+    cfg = load_config(
+        "wing", {"self_play": 64, "epoch_size": 64, "batch_size": 8}
+    )
+    trainer = TrainWingAdapt(
+        cfg, modified_params={"CL_alpha": 3.0, "CD0": 0.15}, seed=0
+    )
+    # thresholds raised for the adapt experiment
+    # (train_fixed_wing.py:226-227)
+    assert trainer.inner.thresh_div >= 20
+    assert trainer.inner.thresh_stable >= 1.5
+
+    k = jax.random.PRNGKey(123)
+    _, analytic_before = trainer.dynamics_gap(key=k)
+    for _ in range(12):
+        trainer.run_dynamics_epoch()
+    adapted_after, analytic_after = trainer.dynamics_gap(key=k)
+    assert analytic_after == analytic_before
+    assert adapted_after < 0.6 * analytic_after, (
+        f"wing adaptation left gap {adapted_after} vs analytic "
+        f"{analytic_after}"
+    )
+    # one controller leg of the alternation + a true-plant eval
+    trainer.run_dynamics(nr_epochs=2, train_dyn_for_epochs=0, verbose=False)
+    m = trainer.evaluate_mismatched(nr_test=2)
+    assert np.isfinite(m["mean_success"])
+
+
+def test_wing_sampling_finetune_split(tmp_path, monkeypatch):
+    """TrainWing(eval_modified_params=...) is the sampling fine-tune leg
+    (train_fixed_wing.py:240-262): controller trains on the analytic
+    model while eval/self-play run in the mismatched plant."""
+    monkeypatch.chdir(tmp_path)
+    from apg_trajectory_tracking_tpu.training.train_wing import TrainWing
+
+    cfg = load_config(
+        "wing", {"self_play": 16, "epoch_size": 16, "batch_size": 8}
+    )
+    trainer = TrainWing(
+        cfg, seed=0, eval_modified_params={"CL_alpha": 3.0}
+    )
+    train_cl = float(trainer.train_dyn.coef("CL_alpha"))
+    eval_cl = float(trainer.eval_dyn.coef("CL_alpha"))
+    assert train_cl == pytest.approx(4.5321, abs=1e-4)
+    assert eval_cl == pytest.approx(3.0, abs=1e-6)
+    loss = trainer.run_epoch()
+    assert np.isfinite(loss)
+
+
+@pytest.mark.slow
 def test_quad_adapt_closes_dynamics_gap(tmp_path, monkeypatch, tiny_bank):
     """Residual fitting shrinks the one-step gap to the mismatched quad env
     and the alternation trains the controller against the adapted model
