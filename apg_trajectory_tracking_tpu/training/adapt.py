@@ -342,6 +342,11 @@ class TrainQuadAdapt:
             )
         )
 
+        # best-by-criterion selection in the LEARNT env (the reference's
+        # save_model inside evaluate_model under sample_in='train_env')
+        self.best_err = float("inf")
+        self.best_net = inner.net
+
     def run_dynamics_epoch(self):
         inner = self.inner
         inner.key, k = jax.random.split(inner.key)
@@ -408,6 +413,11 @@ class TrainQuadAdapt:
         """Alternation schedule (train_base.py:334-375)."""
         for epoch in range(nr_epochs):
             res = self.evaluate(epoch)
+            if epoch > train_dyn_for_epochs and (
+                res["mean_divergence"] < self.best_err
+            ):
+                self.best_err = res["mean_divergence"]
+                self.best_net = self.inner.net
             if (
                 epoch <= train_dyn_for_epochs
                 and epoch % train_dyn_every == 0
@@ -422,6 +432,11 @@ class TrainQuadAdapt:
                     f"Epoch {epoch} [{what}]: loss {loss:.3f} "
                     f"div {res['mean_divergence']:.3f}"
                 )
+        # final eval so the last controller epoch can still win selection
+        res = self.evaluate(nr_epochs)
+        if res["mean_divergence"] < self.best_err:
+            self.best_err = res["mean_divergence"]
+            self.best_net = self.inner.net
         self.inner.finalize()
         return self
 
