@@ -62,8 +62,10 @@ class TrainCartpoleAdapt(TrainCartpole):
         train_base_params=False,
         seed=0,
         save_name="adapt",
+        mesh=None,
     ):
-        super().__init__(config, swingup=False, seed=seed, save_name=save_name)
+        super().__init__(config, swingup=False, seed=seed,
+                         save_name=save_name, mesh=mesh)
         cfg = self.config
         if modified_params is None:
             modified_params = {"wind": 0.5}
@@ -74,6 +76,7 @@ class TrainCartpoleAdapt(TrainCartpole):
         self.dyn_optimizer = masked_dynamics_optimizer(
             cfg["learning_rate_dynamics"], self.ld,
             train_base=train_base_params,
+            base_lr=cfg.get("learning_rate_base"),
         )
         self.dyn_opt_state = self.dyn_optimizer.init(self.ld)
 
@@ -275,6 +278,7 @@ class TrainQuadAdapt:
         seed=0,
         save_name="adapt_quad",
         data_dir="data/traj_data",
+        mesh=None,
     ):
         from apg_trajectory_tracking_tpu.training.train_quad import (
             TrainQuad,
@@ -291,7 +295,7 @@ class TrainQuadAdapt:
         self.inner = inner = TrainQuad(
             config, seed=seed, save_name=save_name, data_dir=data_dir,
             eval_modified_params=modified_params, curriculum=False,
-            base_model=base_model,
+            base_model=base_model, mesh=mesh,
         )
         cfg = inner.config
 
@@ -300,6 +304,7 @@ class TrainQuadAdapt:
         self.dyn_optimizer = masked_dynamics_optimizer(
             cfg["learning_rate_dynamics"], self.ld,
             train_base=train_base_params,
+            base_lr=cfg.get("learning_rate_base"),
         )
         self.dyn_opt_state = self.dyn_optimizer.init(self.ld)
 
@@ -343,9 +348,11 @@ class TrainQuadAdapt:
         )
 
         # best-by-criterion selection in the LEARNT env (the reference's
-        # save_model inside evaluate_model under sample_in='train_env')
-        self.best_err = float("inf")
+        # save_model inside evaluate_model under sample_in='train_env');
+        # score = (-stable_ratio, divergence) on the fixed selection draw
+        self.best_err = (float("inf"), float("inf"))
         self.best_net = inner.net
+        self._sel_refs = None
 
     def run_dynamics_epoch(self):
         inner = self.inner
@@ -408,16 +415,42 @@ class TrainQuadAdapt:
         )
         return metrics
 
+    def evaluate_selection(self, nr_test=10):
+        """Model-selection eval: a FIXED test-bank reference draw, flown in
+        the LEARNT env under the published protocol semantics (thresh_div
+        1.0, test-time break). Selection must not touch the true plant
+        (that is the sampling fine-tune leg's privilege); with an accurate
+        f_hat this is a faithful proxy of the protocol metric, and a fixed
+        draw removes reference-sampling noise from the argmax."""
+        from apg_trajectory_tracking_tpu.evaluation.quad_eval import run_eval
+
+        inner = self.inner
+        if getattr(self, "_sel_refs", None) is None:
+            self._sel_refs = inner._eval_references(nr_test, test_time=True)
+        refs, ref_len = self._sel_refs
+        metrics, _ = run_eval(
+            inner.net, self.ld, refs, ref_len,
+            thresh_div=1.0, thresh_stable=1.0,
+            horizon=inner.horizon, dt=inner.dt, test_time=True,
+            dyn_step=quad_learnt_step,
+        )
+        return metrics
+
+    def _maybe_select(self):
+        sel = self.evaluate_selection()
+        score = (-sel["ratio_stable"], sel["mean_divergence"])
+        if score < self.best_err:
+            self.best_err = score
+            self.best_net = self.inner.net
+        return sel
+
     def run_dynamics(self, nr_epochs=10, train_dyn_for_epochs=2,
                      train_dyn_every=1, verbose=True):
         """Alternation schedule (train_base.py:334-375)."""
         for epoch in range(nr_epochs):
             res = self.evaluate(epoch)
-            if epoch > train_dyn_for_epochs and (
-                res["mean_divergence"] < self.best_err
-            ):
-                self.best_err = res["mean_divergence"]
-                self.best_net = self.inner.net
+            if epoch > train_dyn_for_epochs:
+                self._maybe_select()
             if (
                 epoch <= train_dyn_for_epochs
                 and epoch % train_dyn_every == 0
@@ -432,11 +465,8 @@ class TrainQuadAdapt:
                     f"Epoch {epoch} [{what}]: loss {loss:.3f} "
                     f"div {res['mean_divergence']:.3f}"
                 )
-        # final eval so the last controller epoch can still win selection
-        res = self.evaluate(nr_epochs)
-        if res["mean_divergence"] < self.best_err:
-            self.best_err = res["mean_divergence"]
-            self.best_net = self.inner.net
+        # final selection pass so the last controller epoch can still win
+        self._maybe_select()
         self.inner.finalize()
         return self
 
@@ -492,6 +522,7 @@ class TrainWingAdapt:
         train_base_params=False,
         seed=0,
         save_name="adapt_wing",
+        mesh=None,
     ):
         from apg_trajectory_tracking_tpu.data.dataset import (
             wing_prepare_data,
@@ -516,6 +547,7 @@ class TrainWingAdapt:
         self.inner = inner = TrainWing(
             cfg, seed=seed, save_name=save_name,
             eval_modified_params=modified_params, base_model=base_model,
+            mesh=mesh,
         )
         cfg = inner.config
         # a base_model restore re-loads its own curriculum thresholds;
@@ -528,6 +560,7 @@ class TrainWingAdapt:
         self.dyn_optimizer = masked_dynamics_optimizer(
             cfg["learning_rate_dynamics"], self.ld,
             train_base=train_base_params,
+            base_lr=cfg.get("learning_rate_base"),
         )
         self.dyn_opt_state = self.dyn_optimizer.init(self.ld)
 

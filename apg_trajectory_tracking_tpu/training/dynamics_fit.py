@@ -24,12 +24,36 @@ from apg_trajectory_tracking_tpu.dynamics.learnt import (
 )
 
 
-def _labels_like(ld: LearntDynamics, train_base: bool):
-    """Per-leaf labels: residual always trains; base params only if
-    ``train_base`` (the reference's params_trainable flag)."""
-    base_label = "train" if train_base else "freeze"
+def _labels_like(ld: LearntDynamics, train_base):
+    """Per-leaf labels: residual always trains ('train'); base params get
+    'base' if trainable, 'freeze' otherwise.
+
+    ``train_base`` may be a bool (all-or-nothing, the reference's
+    params_trainable flag) or a collection of base FIELD NAMES for a
+    targeted sysid mask (the pattern of scripts/swingup_adapt.py, which
+    identifies only ``length``) — the base pytree must then be a
+    NamedTuple."""
+    if isinstance(train_base, bool):
+        base = jax.tree_util.tree_map(
+            lambda _: "base" if train_base else "freeze", ld.base
+        )
+    else:
+        names = set(train_base)
+        unknown = names - set(ld.base._fields)
+        if unknown:
+            raise ValueError(
+                f"train_base names {sorted(unknown)} not in base fields "
+                f"{ld.base._fields}"
+            )
+        base = type(ld.base)(**{
+            f: jax.tree_util.tree_map(
+                lambda _: "base" if f in names else "freeze",
+                getattr(ld.base, f),
+            )
+            for f in ld.base._fields
+        })
     return LearntDynamics(
-        base=jax.tree_util.tree_map(lambda _: base_label, ld.base),
+        base=base,
         residual=jax.tree_util.tree_map(lambda _: "train", ld.residual),
         action_transform=(
             None
@@ -39,11 +63,19 @@ def _labels_like(ld: LearntDynamics, train_base: bool):
     )
 
 
-def masked_dynamics_optimizer(lr, ld: LearntDynamics, train_base=False):
+def masked_dynamics_optimizer(lr, ld: LearntDynamics, train_base=False,
+                              base_lr=None):
     """Masked optimizer for the dynamics fit: trainable leaves step,
     frozen leaves get zero updates (optax.masked would pass raw gradients
     through for the complement, so multi_transform + set_to_zero is
     required).
+
+    ``train_base`` selects the trainable physical parameters (bool or
+    field names, see :func:`_labels_like`); ``base_lr`` gives them their
+    own Adam learning rate — physical constants like kinv (~16.6) live on
+    a very different scale than residual MLP weights, and Adam's step
+    magnitude is bounded by its lr, so identifying an O(5) parameter shift
+    at the residual's 1e-3 would take ~5000 steps.
 
     Deliberate deviation from the reference (SGD momentum 0.9,
     train_base.py:146-150): Adam with global-norm clipping. The fit problem
@@ -57,6 +89,7 @@ def masked_dynamics_optimizer(lr, ld: LearntDynamics, train_base=False):
         optax.multi_transform(
             {
                 "train": optax.adam(lr),
+                "base": optax.adam(base_lr if base_lr is not None else lr),
                 "freeze": optax.set_to_zero(),
             },
             labels,

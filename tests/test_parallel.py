@@ -115,6 +115,111 @@ def test_trainer_epoch_single_vs_8dev(tmp_path, monkeypatch):
     np.testing.assert_allclose(losses[1], losses[8], rtol=2e-5, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_cartpole_trainer_epoch_single_vs_8dev(tmp_path, monkeypatch):
+    """TrainCartpole (balance) on a 1-device vs 8-device mesh: same loss
+    curve up to psum reduction-order float noise."""
+    from apg_trajectory_tracking_tpu.training.common import load_config
+    from apg_trajectory_tracking_tpu.training.train_cartpole import (
+        TrainCartpole,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config("cartpole", dict(sample_data=64, nr_epochs=2))
+    losses = {}
+    for nd in (1, 8):
+        t = TrainCartpole(
+            config=dict(cfg), swingup=False, seed=0,
+            save_name=f"meshtest{nd}", mesh=make_mesh(nd),
+        )
+        assert t.mesh.shape["env"] == nd
+        t.fit(2)
+        losses[nd] = np.asarray(t.logger.results["loss"], dtype=float)
+    np.testing.assert_allclose(losses[1], losses[8], rtol=2e-4, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_wing_trainer_epoch_single_vs_8dev(tmp_path, monkeypatch):
+    """TrainWing on a 1-device vs 8-device mesh: same loss curve."""
+    from apg_trajectory_tracking_tpu.training.common import load_config
+    from apg_trajectory_tracking_tpu.training.train_wing import TrainWing
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(
+        "wing", dict(self_play=32, epoch_size=32, batch_size=8,
+                     nr_epochs=2)
+    )
+    losses = {}
+    for nd in (1, 8):
+        t = TrainWing(
+            config=dict(cfg), seed=0, save_name=f"meshtest{nd}",
+            mesh=make_mesh(nd),
+        )
+        assert t.mesh.shape["env"] == nd
+        t.fit(nr_epochs=2, nr_test=8, verbose=False)
+        losses[nd] = np.asarray(t.logger.results["loss"], dtype=float)
+    np.testing.assert_allclose(losses[1], losses[8], rtol=2e-4, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_lstm_trainer_epoch_single_vs_8dev(tmp_path, monkeypatch):
+    """The recurrent/LSTM TrainQuad on a 1-device vs 8-device mesh: the
+    same sharded-epoch path must cover the recurrent step too."""
+    import os
+
+    from apg_trajectory_tracking_tpu.training.common import load_config
+    from apg_trajectory_tracking_tpu.training.train_quad import TrainQuad
+
+    monkeypatch.chdir(tmp_path)
+    os.symlink(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "data"),
+        "data",
+    )
+    cfg = load_config(
+        "quad",
+        dict(epoch_size=64, self_play=0.5, nr_epochs=2, resample_every=3,
+             train_mode="LSTM"),
+    )
+    losses = {}
+    for nd in (1, 8):
+        t = TrainQuad(
+            config=dict(cfg), seed=0, save_name=f"meshtest_lstm{nd}",
+            mesh=make_mesh(nd),
+        )
+        assert t.mesh.shape["env"] == nd
+        t.fit(nr_epochs=2, nr_test=10, verbose=False)
+        losses[nd] = np.asarray(t.logger.results["loss"], dtype=float)
+    np.testing.assert_allclose(losses[1], losses[8], rtol=2e-4, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_wing_adapt_fit_single_vs_8dev(tmp_path, monkeypatch):
+    """The dynamics-fit/adapt alternation on a 1-device vs 8-device mesh:
+    both the fit epochs and the controller-against-learnt-model epoch."""
+    from apg_trajectory_tracking_tpu.training.common import load_config
+    from apg_trajectory_tracking_tpu.training.adapt import TrainWingAdapt
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(
+        "wing", dict(self_play=32, epoch_size=32, batch_size=8)
+    )
+    fit_losses, ctrl_losses = {}, {}
+    for nd in (1, 8):
+        t = TrainWingAdapt(
+            dict(cfg), modified_params={"CL_alpha": 3.0}, seed=0,
+            save_name=f"meshtest_adapt{nd}", mesh=make_mesh(nd),
+        )
+        assert t.inner.mesh.shape["env"] == nd
+        fit_losses[nd] = [t.run_dynamics_epoch() for _ in range(2)]
+        ctrl_losses[nd] = t.run_controller_epoch_learnt()
+    np.testing.assert_allclose(
+        fit_losses[1], fit_losses[8], rtol=2e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        ctrl_losses[1], ctrl_losses[8], rtol=2e-4, atol=1e-3
+    )
+
+
 def test_auto_mesh_divisibility():
     from apg_trajectory_tracking_tpu.parallel.mesh import auto_mesh
 
