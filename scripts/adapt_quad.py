@@ -165,6 +165,22 @@ def main():
             for k in ("kinv_ang_vel_tau", "translational_drag",
                       "rotational_drag")
         }
+        # rate-loop authority analysis: the Flightmare rate command is
+        # bounded to +-0.5 rad/s (action[...,1:4]-0.5, dynamics/quad.py),
+        # so a constant drag torque is compensable only while
+        # (rot_drag/J)/kinv <= 0.5; beyond that every controller must
+        # sustain |body rate| >= the residual, and the attitude stability
+        # predicate (|roll|,|pitch| < 1 rad) becomes unsatisfiable
+        true_p = quad_params(mp)
+        resid = np.asarray(
+            np.abs(true_p.rotational_drag / true_p.inertia)
+            / true_p.kinv_ang_vel_tau
+        ) - 0.5
+        feas = {
+            "rate_authority_margin": (-resid).tolist(),
+            "min_sustained_body_rate": np.maximum(resid, 0.0).tolist(),
+            "feasible": bool((resid <= 0).all()),
+        }
         print(f"[{param} x{factor}] identified:", json.dumps(identified))
         out["cells"][f"{param} x{factor}"] = {
             "modified_params": mp,
@@ -172,6 +188,7 @@ def main():
             "after": after,
             "after_final_epoch": after_final,
             "identified_params": identified,
+            "rate_authority": feas,
             "dynamics_gap": {
                 "analytic": gap0_an,
                 "adapted_before": gap0_ad,

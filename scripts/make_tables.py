@@ -707,6 +707,57 @@ def robustness_block():
     return "\n".join(lines)
 
 
+def robustness_adapt_block():
+    """README repair-by-adaptation table from docs/robustness_adapt.json
+    (scripts/adapt_quad.py): the published killer cells re-scored after the
+    run_dynamics sysid+retrain loop, plus the rate-authority feasibility
+    analysis for the cell no controller can hold."""
+    from apg_trajectory_tracking_tpu.evaluation.stats import fmt_ci
+
+    d = load_json(os.path.join("docs", "robustness_adapt.json"))
+    if not d:
+        return None
+    nom = d["nominal"]
+    lines = [
+        "| failure cell | before | after adaptation | identified plant / "
+        "analysis |",
+        "|---|---|---|---|",
+    ]
+
+    def cell_fmt(c):
+        return (f"{c['err']:.3f} err · "
+                + fmt_ci(c["stable"], c["stable_ci"], pct=True) + " stable")
+
+    for cell, c in d["cells"].items():
+        feas = c.get("rate_authority", {})
+        if feas and not feas.get("feasible", True):
+            rates = ", ".join(
+                f"{r:.2f}" for r in feas["min_sustained_body_rate"]
+            )
+            note = (f"**infeasible for any controller**: drag torque "
+                    f"exceeds the ±0.5 rad/s rate command authority — "
+                    f"min sustainable body rates [{rates}] rad/s break "
+                    f"the attitude predicate (sysid still exact)")
+        else:
+            param = next(iter(c["modified_params"]))
+            ident = c["identified_params"][param]
+            note = (f"sysid recovered `{param}` = "
+                    f"[{', '.join(f'{v:.2f}' for v in ident)}] "
+                    f"(gap {c['dynamics_gap']['analytic']:.3f} → "
+                    f"{c['dynamics_gap']['adapted_after']:.4f})")
+        lines.append(
+            f"| {cell} | {cell_fmt(c['before'])} | {cell_fmt(c['after'])} "
+            f"| {note} |"
+        )
+    lines.append("")
+    lines.append(
+        f"(base model `{d['base_model']}`, nominal {cell_fmt(nom)}; "
+        f"{d['protocol']}; full per-cell artifacts in "
+        "`docs/robustness_adapt.json`)"
+    )
+    return "\n".join(lines)
+
+
 def bench_line_block():
     """Stamp the README throughput line from the newest BENCH_r*.json
     (round-3 verdict: perf prose must trace to a committed artifact)."""
@@ -1013,6 +1064,16 @@ def main():
         rb = robustness_block()
         if rb is not None:
             readme_blocks["robustness_table"] = rb
+        ra = robustness_adapt_block()
+        if ra is not None:
+            readme_blocks["robustness_adapt_table"] = ra
+            manifest["sections"]["robustness_adapt"] = {
+                "artifact": "docs/robustness_adapt.json",
+                "protocol": "published robustness protocol (20 full-bank "
+                            "trajectories, seed-42 draw, speed 0.4, "
+                            "thresh_div 1.0, test-time break) before/after "
+                            "the scripts/adapt_quad.py sysid+retrain loop",
+            }
 
     if "bench" in sections:
         line = bench_line_block()

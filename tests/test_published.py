@@ -40,7 +40,7 @@ def generated_blocks():
 REQUIRED_BLOCKS = {
     "quad_table", "wide_table", "wall_table", "speed_table",
     "cartpole_table", "swingup_table", "wing_table", "models_table",
-    "robustness_table", "bench_line",
+    "robustness_table", "robustness_adapt_table", "bench_line",
 }
 
 
