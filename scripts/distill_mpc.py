@@ -67,6 +67,18 @@ def main():
     parser.add_argument("--base_model", default=None,
                         help="resume the DAgger loop from a previously "
                              "saved student (dir under trained_models/quad)")
+    parser.add_argument("--failure_focus", action="store_true",
+                        help="each DAgger round additionally rolls the "
+                             "student out under test-time break semantics, "
+                             "harvests the states leading up to each "
+                             "break, and oversamples them (x2) in the "
+                             "aggregate — targets the stability tail that "
+                             "plain coverage DAgger plateaus on")
+    parser.add_argument("--select", default="err",
+                        choices=["err", "stable"],
+                        help="round selection criterion: best mean "
+                             "divergence, or best (stable ratio, then "
+                             "divergence)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -258,11 +270,18 @@ def main():
     def save_best(net):
         save_checkpoint(save_path, "model_quad", net, student_cfg)
 
+    def score_of(m):
+        # 'stable' ranks by stability first (divergence as tiebreak);
+        # 'err' is the historical best-by-error selection
+        if args.select == "stable":
+            return (-m["ratio_stable"], m["mean_divergence"])
+        return (m["mean_divergence"],)
+
     m = eval50(net)
     print("cloned:", json.dumps(
         {"err": round(m["mean_divergence"], 4),
          "stable": m["ratio_stable"]}), flush=True)
-    best_net, best_err = net, m["mean_divergence"]
+    best_net, best_score = net, score_of(m)
     save_best(best_net)
 
     # DAgger rounds: aggregate states the STUDENT visits, labeled by the
@@ -294,6 +313,42 @@ def main():
         all_s.append(vs)
         all_w.append(vw)
         all_t.append(vt)
+        if args.failure_focus:
+            # roll the student under BREAK semantics on a fresh draw; every
+            # episode that ends early contributes the states on its path to
+            # failure, teacher-labeled and oversampled x2 — plain coverage
+            # DAgger dilutes exactly these states away
+            fidx = rng.choice(len(bank), size=args.dagger_rollouts,
+                              replace=False)
+            frefs = np.stack(
+                [prepare_trajectory(bank[i], dt, args.speed) for i in fidx]
+            )
+            frefs[:, :, 2] += 3.0
+            froll = follow_trajectories(
+                net, dyn, jnp.asarray(frefs), frefs.shape[1] - win_rows,
+                thresh_div=1.0, thresh_stable=1.0, horizon=horizon, dt=dt,
+                test_time=True, window_len=win_rows, net_window=sw,
+            )
+            fvalid = np.asarray(froll["valid"])
+            alive = fvalid.sum(axis=1)
+            failed = alive < fvalid.shape[1] - 1
+            n_fail = int(failed.sum())
+            if n_fail:
+                fs = np.asarray(froll["states"])[failed].reshape(-1, 12)
+                fw = np.asarray(froll["windows"])[failed].reshape(
+                    -1, win_rows, 9
+                )
+                fmask = fvalid[failed].reshape(-1)
+                ftake = np.where(fmask)[0][: args.n_pairs]
+                fs = jnp.asarray(fs[ftake])
+                fw = jnp.asarray(fw[ftake])
+                ft = label(fs, fw)
+                for _ in range(2):  # oversample the failure tail
+                    all_s.append(fs)
+                    all_w.append(fw)
+                    all_t.append(ft)
+            print(f"  failure focus: {n_fail}/{args.dagger_rollouts} "
+                  f"episodes broke", flush=True)
         s_cat = jnp.concatenate(all_s)
         w_cat = jnp.concatenate(all_w)
         t_cat = jnp.concatenate(all_t)
@@ -304,15 +359,15 @@ def main():
         print(f"dagger {it} ({s_cat.shape[0]} pairs):", json.dumps(
             {"err": round(m["mean_divergence"], 4),
              "stable": m["ratio_stable"]}), flush=True)
-        if m["mean_divergence"] < best_err:
-            best_net, best_err = net, m["mean_divergence"]
+        if score_of(m) < best_score:
+            best_net, best_score = net, score_of(m)
             save_best(best_net)
     # the shipped checkpoint is the best-by-error round (round-to-round
     # eval noise ~0.003); model only — the distillation optimizer (Adam)
     # is not the APG trainer's (SGD-momentum), so its state is not
     # resumable anyway
     net = best_net
-    print(f"best round err {best_err:.4f}")
+    print(f"best round score {tuple(round(s, 4) for s in best_score)}")
     print("saved to", save_path)
 
     # 4. optional APG fine-tune from the distilled weights
