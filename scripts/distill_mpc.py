@@ -331,7 +331,10 @@ def main():
             )
             fvalid = np.asarray(froll["valid"])
             alive = fvalid.sum(axis=1)
-            failed = alive < fvalid.shape[1] - 1
+            # a full episode executes ref_len steps (not max_steps) — an
+            # episode is a failure iff it broke before the usable window
+            full_alive = frefs.shape[1] - win_rows
+            failed = alive < full_alive - 1
             n_fail = int(failed.sum())
             if n_fail:
                 fs = np.asarray(froll["states"])[failed].reshape(-1, 12)
