@@ -30,6 +30,8 @@ def main():
     parser.add_argument("--speed", type=float, default=0.2,
                         help="trajectory replay speed factor for the quad "
                              "env")
+    parser.add_argument("--lr", type=float, default=None,
+                        help="PPO Adam lr (default PPOConfig's 3e-4)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -91,6 +93,8 @@ def main():
         act_low, act_high = 0.0, 1.0
 
     cfg = PPOConfig(n_envs=args.n_envs, act_low=act_low, act_high=act_high)
+    if args.lr is not None:
+        cfg = cfg._replace(lr=args.lr)
     params, history = train_ppo(
         reset_fn, step_fn, obs_dim, act_dim,
         total_timesteps=args.timesteps or default_steps,
