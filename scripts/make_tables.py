@@ -44,6 +44,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # the models of the wide + wall protocols (all shipped quad controllers
 # that track speed-0.4 polynomial references)
 WIDE_MODELS = [
+    "assets/quad_mpc_distilled_stable_ff",
     "assets/quad_mpc_distilled_h14",
     "assets/quad_mpc_distilled_lstm_h14",
     "assets/quad_mpc_distilled",
@@ -476,6 +477,11 @@ SWINGUP_COLUMNS = ("success_rate", "mean_final_angle", "mean_vel")
 # speed-0.5 feasibility wall; quad100 = full-bank head-to-head row;
 # cartpole = balance + swing-up protocols; wing = waypoint protocol.
 MODELS_TABLE = [
+    ("quad_mpc_distilled_stable_ff", "wide",
+     "failure-focused DAgger refinement of the stable student (h=20 "
+     "teacher, break-semantics failure harvesting ×2 oversampled, "
+     "stability-first round selection) — champion: within-CI of its MPC "
+     "teacher's stability at half the error gap"),
     ("quad_mpc_distilled_h14", "wide",
      "DAgger student of the h=14 in-graph MPC teacher (the teacher-horizon "
      "sweep's sweet spot, DESIGN.md §7) — best neural tracking error"),
