@@ -132,6 +132,58 @@ def main():
 
         return step
 
+    def make_pipelined_run_iters(dyn_step):
+        """Two-slot software pipeline over the iteration scan: trip i
+        computes grads at the CURRENT params while applying trip i-1's
+        pending grads — a one-step-stale (PipeDream-style) update that
+        removes the grad->update->grad serial chain, giving the scheduler
+        a chance to overlap the (cheap) optimizer apply with the (heavy)
+        BPTT. Semantics: SGD with one-step gradient delay, so the loss
+        trace differs from base by O(lr) per step (checked loosely)."""
+        from apg_trajectory_tracking_tpu.data.dataset import (
+            quad_prepare_data,
+        )
+        from apg_trajectory_tracking_tpu.losses import quad_mpc_loss
+        from apg_trajectory_tracking_tpu.models import control_net_apply
+
+        def loss_fn(net_params, s, r):
+            in_state, cur, in_ref, rel_ref = quad_prepare_data(s, r)
+            logits = control_net_apply(net_params, in_state, in_ref)
+            acts = jax.nn.sigmoid(logits).reshape(-1, HORIZON, 4)
+
+            def body(state, act):
+                nxt = dyn_step(dyn, state, act, 0.1)
+                return nxt, nxt
+
+            _, inter = jax.lax.scan(
+                body, cur, jnp.swapaxes(acts, 0, 1), unroll=True
+            )
+            return quad_mpc_loss(jnp.swapaxes(inter, 0, 1), rel_ref, acts)
+
+        vag = jax.value_and_grad(loss_fn)
+
+        def run_iters(net, opt_state, states, refs):
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, net)
+
+            def body(carry, _):
+                p, o, pending = carry
+                # independent of vag below -> overlappable by the scheduler
+                updates, o2 = optimizer.update(pending, o)
+                p2 = optax.apply_updates(p, updates)
+                loss, g = vag(p, states, refs)
+                return (p2, o2, g), loss
+
+            (p, o, g), losses = jax.lax.scan(
+                body, (net, opt_state, zero_g), None, length=args.iters,
+                unroll=4,
+            )
+            # flush the last pending gradient
+            updates, o = optimizer.update(g, o)
+            p = optax.apply_updates(p, updates)
+            return p, o, losses[-1]
+
+        return jax.jit(run_iters, donate_argnums=(0, 1))
+
     variants = {
         "base": make_run_iters(
             build_concurrent_step(quad_step, optimizer, 0.1, HORIZON, 4)
@@ -163,6 +215,9 @@ def main():
             build_concurrent_step(quad_step_fast, optimizer, 0.1, HORIZON, 4),
             donate=True, unroll=8,
         ),
+        # the last untried lever (round-4 verdict #7): two-slot software
+        # pipeline across scan trips (one-step-stale updates)
+        "pipelined": make_pipelined_run_iters(quad_step_fast),
     }
 
     # per-variant threaded (net, opt_state): donated variants consume
@@ -186,7 +241,10 @@ def main():
     ref_loss = losses["base"]
     for name, ls in losses.items():
         dev = abs(ls - ref_loss) / max(abs(ref_loss), 1e-9)
-        assert dev < 1e-3, (name, ls, ref_loss)
+        # the pipelined variant is one update behind by construction, so
+        # its trace deviates by O(lr) per step rather than roundoff
+        tol = 1e-2 if name == "pipelined" else 1e-3
+        assert dev < tol, (name, ls, ref_loss)
     print("loss agreement ok:",
           {k: round(v, 4) for k, v in losses.items()})
 
