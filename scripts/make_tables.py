@@ -61,6 +61,7 @@ WIDE_MODELS = [
     "assets/reference_pretrained",
 ]
 WALL_MODELS = [
+    "assets/quad_mpc_distilled_s05_ff",
     "assets/quad_mpc_distilled_s05_h14",
     "assets/quad_mpc_distilled_s05",
     "assets/quad_mpc_distilled_h14",
@@ -525,6 +526,10 @@ MODELS_TABLE = [
      "(scripts/convert_reference_checkpoint.py)"),
     ("quad_ppo_2m", "quad100",
      "PPO baseline at the reference's 2M-step budget"),
+    ("quad_mpc_distilled_s05_ff", "wall",
+     "speed-0.5 specialist, failure-focused DAgger refinement of the "
+     "h=20 student — best stability at the feasibility wall, within the "
+     "MPC teacher's CI"),
     ("quad_mpc_distilled_s05_h14", "wall",
      "speed-0.5 specialist, h=14 teacher (20 DAgger rounds) — best error "
      "at the feasibility wall"),

@@ -40,6 +40,7 @@ def main():
     parser.add_argument("--models", nargs="*", default=[
         "assets/quad_mpc_distilled_s05",
         "assets/quad_mpc_distilled_s05_h14",
+        "assets/quad_mpc_distilled_s05_ff",
     ])
     parser.add_argument("--out", default="docs/wall_feasibility_accounting.json")
     parser.add_argument("--cpu", action="store_true")
