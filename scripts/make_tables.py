@@ -525,7 +525,8 @@ MODELS_TABLE = [
      "the reference's own shipped quad net, weight-converted "
      "(scripts/convert_reference_checkpoint.py)"),
     ("quad_ppo_2m", "quad100",
-     "PPO baseline at the reference's 2M-step budget"),
+     "PPO baseline at the reference's 2M-step budget — best of the 6-cell "
+     "reward × lr sweep (docs/ppo_sweep.json: mpc reward, lr 1e-4)"),
     ("quad_mpc_distilled_s05_ff", "wall",
      "speed-0.5 specialist, failure-focused DAgger refinement of the "
      "h=20 student — best stability at the feasibility wall, within the "
