@@ -45,9 +45,16 @@ def main():
     parser.add_argument("--dyn_epochs", type=int, default=10)
     parser.add_argument("--self_play", type=int, default=512)
     parser.add_argument("--epoch_size", type=int, default=512)
-    parser.add_argument("--train_base", action="store_true",
-                        help="also free the physical parameters in the fit "
-                             "(the reference's trainable ParameterDict)")
+    parser.add_argument("--train_base", default="none",
+                        choices=["none", "coeffs", "all"],
+                        help="physical parameters the fit may train: "
+                             "'coeffs' = the 30 aero coefficients (the "
+                             "reference's trainable ParameterDict, "
+                             "fixed_wing_dynamics.py:290-303, as a "
+                             "targeted sysid mask), 'all' = every base "
+                             "leaf, 'none' = residual only")
+    parser.add_argument("--base_lr", type=float, default=0.01,
+                        help="Adam lr for the physical coefficients")
     parser.add_argument("--skip_finetune", action="store_true")
     parser.add_argument("--out", default="docs/wing_adapt.json")
     parser.add_argument("--cpu", action="store_true")
@@ -100,14 +107,20 @@ def main():
     print("nominal plant :", json.dumps(nominal))
     print("mismatched    :", json.dumps(before))
 
+    train_base = {
+        "none": False,
+        "coeffs": ("coeffs",),
+        "all": True,
+    }[args.train_base]
     cfg = load_config("wing", {
         "self_play": args.self_play,
         "epoch_size": args.epoch_size,
         "batch_size": 8,
+        "learning_rate_base": args.base_lr,
     })
     trainer = TrainWingAdapt(
         cfg, modified_params=mismatch, base_model=args.base_model,
-        train_base_params=args.train_base, seed=0,
+        train_base_params=train_base, seed=0,
         save_name="adapt_wing",
     )
     gap_key = jax.random.PRNGKey(7)
@@ -119,6 +132,25 @@ def main():
     adapted_g1, _ = trainer.dynamics_gap(key=gap_key)
     print(f"one-step gap: analytic {analytic_g:.5f}, "
           f"adapted {adapted_g0:.5f} -> {adapted_g1:.5f}")
+
+    identified = None
+    if train_base:
+        from apg_trajectory_tracking_tpu.dynamics.fixed_wing import (
+            DEFAULT_WING_CFG,
+            _COEF_KEYS,
+        )
+        import numpy as np
+
+        coeffs = np.asarray(trainer.ld.base.coeffs)
+        identified = {
+            k: {
+                "nominal": DEFAULT_WING_CFG[k],
+                "plant": mismatch.get(k, DEFAULT_WING_CFG[k]),
+                "identified": float(coeffs[_COEF_KEYS.index(k)]),
+            }
+            for k in sorted(set(mismatch) & set(_COEF_KEYS))
+        }
+        print("identified coefficients:", json.dumps(identified))
 
     # the best-by-learnt-env-criterion net (the reference's save_model
     # selection); the final-epoch net goes in the artifact for reference
@@ -140,8 +172,9 @@ def main():
             "train_dyn_for_epochs": args.dyn_epochs,
             "self_play": args.self_play,
             "epoch_size": args.epoch_size,
-            "train_base": bool(args.train_base),
+            "train_base": args.train_base,
         },
+        "identified_coefficients": identified,
         "dynamics_gap": {
             "analytic": analytic_g,
             "adapted_before": adapted_g0,

@@ -255,6 +255,7 @@ ROBUSTNESS_MODELS = [
     "assets/quad_trained_9k",
     "assets/quad_mpc_distilled_h14",
     "assets/quad_mpc_distilled_stable",
+    "assets/quad_mpc_distilled_stable_ff",
     "assets/quad_mpc_distilled_lstm_h14",
 ]
 
