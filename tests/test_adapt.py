@@ -121,6 +121,55 @@ def test_wing_sampling_finetune_split(tmp_path, monkeypatch):
     assert np.isfinite(loss)
 
 
+def test_targeted_sysid_mask_trains_only_named_fields():
+    """The field-name form of train_base (scripts/swingup_adapt.py's
+    masked-identification pattern, generalized) must step ONLY the named
+    base fields plus the residual, freeze the rest, and reject unknown
+    names."""
+    import optax
+
+    from apg_trajectory_tracking_tpu.dynamics.learnt import make_learnt_quad
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_step
+    from apg_trajectory_tracking_tpu.training.dynamics_fit import (
+        build_dynamics_fit_step,
+        masked_dynamics_optimizer,
+    )
+    from apg_trajectory_tracking_tpu.dynamics.quad import quad_params
+
+    key = jax.random.PRNGKey(0)
+    ld, ld_step = make_learnt_quad(key, std=1e-4)
+    opt = masked_dynamics_optimizer(
+        1e-3, ld, train_base=("kinv_ang_vel_tau",), base_lr=0.02
+    )
+    fit = build_dynamics_fit_step(
+        lambda p, s, a, dt: ld_step(p, s, a, dt), quad_step, opt, 0.1
+    )
+    eval_dyn = quad_params({"kinv_ang_vel_tau": [21.6, 21.6, 6.5]})
+    k1, k2 = jax.random.split(key)
+    s = jax.random.normal(k1, (32, 12)) * 0.3
+    a = jax.random.uniform(k2, (32, 4))
+    new_ld, _, loss = fit(ld, opt.init(ld), eval_dyn, s, a)
+    assert np.isfinite(float(loss))
+    # named field stepped toward the plant
+    assert float(
+        jnp.abs(new_ld.base.kinv_ang_vel_tau - ld.base.kinv_ang_vel_tau).sum()
+    ) > 0
+    # every other base field frozen exactly
+    for f in ld.base._fields:
+        if f == "kinv_ang_vel_tau":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(getattr(new_ld.base, f)),
+            np.asarray(getattr(ld.base, f)),
+        )
+    # residual always trains
+    assert float(
+        jnp.abs(new_ld.residual.w2 - ld.residual.w2).sum()
+    ) > 0
+    with pytest.raises(ValueError, match="not in base fields"):
+        masked_dynamics_optimizer(1e-3, ld, train_base=("no_such_param",))
+
+
 @pytest.mark.slow
 def test_quad_adapt_closes_dynamics_gap(tmp_path, monkeypatch, tiny_bank):
     """Residual fitting shrinks the one-step gap to the mismatched quad env
