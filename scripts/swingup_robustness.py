@@ -10,7 +10,9 @@ their nominal internal models:
   * APG ``cartpole_swingup_trained`` — the pump-up is baked into the
     weights at training time (amortized offline);
   * the two-start warm iLQR (``make_cartpole_swingup_ilqr``) — replans
-    every step through its nominal model against the perturbed plant.
+    every step through its nominal model against the perturbed plant;
+  * the two-start CEM (``make_cartpole_swingup_cem``) — the sampling
+    solver family under the same mismatch.
 
 Writes ``docs/swingup_robustness.json``; quoted in DESIGN.md §4.
 
@@ -45,6 +47,9 @@ def main():
 
     import jax
 
+    from apg_trajectory_tracking_tpu.controllers.cem import (
+        make_cartpole_swingup_cem,
+    )
     from apg_trajectory_tracking_tpu.controllers.ilqr import (
         make_cartpole_swingup_ilqr,
     )
@@ -71,6 +76,7 @@ def main():
     )
     # controllers keep their nominal internal model throughout the sweep
     ilqr_apply, ilqr_init = make_cartpole_swingup_ilqr(nominal)
+    cem_apply, cem_init = make_cartpole_swingup_cem(nominal)
 
     def eval_both(plant):
         apg = swingup_metrics(net, plant, key, nr_iters=args.eval)
@@ -78,11 +84,16 @@ def main():
             None, plant, key, nr_iters=args.eval,
             net_apply=ilqr_apply, horizon=60, init_carry=ilqr_init,
         )
+        cem = swingup_metrics(
+            None, plant, key, nr_iters=args.eval,
+            net_apply=cem_apply, horizon=60, init_carry=cem_init,
+        )
         keep = ("success_rate", "success_rate_ci", "mean_vel",
                 "mean_final_angle", "n")
         return {
             "apg_swingup_trained": {k: apg[k] for k in keep},
             "ilqr_two_start": {k: ilqr[k] for k in keep},
+            "cem_two_start": {k: cem[k] for k in keep},
         }
 
     results = {"nominal": eval_both(nominal)}
@@ -98,7 +109,8 @@ def main():
             print(
                 f"{name} x{f}: apg "
                 f"{r['apg_swingup_trained']['success_rate']:.2f} / ilqr "
-                f"{r['ilqr_two_start']['success_rate']:.2f}", flush=True,
+                f"{r['ilqr_two_start']['success_rate']:.2f} / cem "
+                f"{r['cem_two_start']['success_rate']:.2f}", flush=True,
             )
 
     out = {
