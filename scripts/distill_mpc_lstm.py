@@ -48,6 +48,16 @@ def main():
     parser.add_argument("--base_model", default=None,
                         help="resume the DAgger loop from a previously "
                              "saved student (dir under trained_models/quad)")
+    parser.add_argument("--failure_focus", action="store_true",
+                        help="each DAgger round also rolls the student "
+                             "under test-time break semantics and "
+                             "oversamples (x2) the sequences of episodes "
+                             "that break — the recipe that lifted the "
+                             "feed-forward champion (distill_mpc.py)")
+    parser.add_argument("--select", default="err",
+                        choices=["err", "stable"],
+                        help="round selection: best divergence, or best "
+                             "(stable ratio, then divergence)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -264,7 +274,12 @@ def main():
     print("teacher-forced:", json.dumps(
         {"err": round(m["mean_divergence"], 4),
          "stable": m["ratio_stable"]}), flush=True)
-    best_net, best_err = net, m["mean_divergence"]
+    def score_of(m):
+        if args.select == "stable":
+            return (-m["ratio_stable"], m["mean_divergence"])
+        return (m["mean_divergence"],)
+
+    best_net, best_score = net, score_of(m)
 
     # ---- phase 2: DAgger on student sequences -------------------------------
     saved = False
@@ -287,18 +302,45 @@ def main():
             jnp.concatenate([data[2], a_seq]),
             jnp.concatenate([data[3], v_seq]),
         ]
+        if args.failure_focus:
+            frefs = refs_from(bank, args.dagger_rollouts)
+            froll = follow_trajectories(
+                net, dyn, frefs, frefs.shape[1] - th, thresh_div=1.0,
+                thresh_stable=1.0, horizon=horizon, dt=dt, test_time=True,
+                net_apply=lstm_net_apply,
+                net_carry=init_lstm_state(frefs.shape[0],
+                                          hidden=args.hidden),
+                window_len=th, net_window=th,
+            )
+            fvalid = np.asarray(froll["valid"])
+            failed = fvalid.sum(axis=1) < (frefs.shape[1] - th) - 1
+            n_fail = int(failed.sum())
+            if n_fail:
+                fmask = jnp.asarray(failed)
+                fs, fw = froll["states"][fmask], froll["windows"][fmask]
+                fv = froll["valid"][fmask]
+                fa = label_sequences(fs, fw)
+                for _ in range(2):  # oversample the failure sequences
+                    data = [
+                        jnp.concatenate([data[0], fs]),
+                        jnp.concatenate([data[1], fw]),
+                        jnp.concatenate([data[2], fa]),
+                        jnp.concatenate([data[3], fv]),
+                    ]
+            print(f"  failure focus: {n_fail}/{args.dagger_rollouts} "
+                  f"episodes broke", flush=True)
         net, opt_state = fit_stage(net, opt_state, data, args.steps // 2)
         m = evalN(net)
         print(f"dagger {it} ({data[0].shape[0]} seqs):", json.dumps(
             {"err": round(m["mean_divergence"], 4),
              "stable": m["ratio_stable"]}), flush=True)
-        if m["mean_divergence"] < best_err:
-            best_net, best_err = net, m["mean_divergence"]
+        if score_of(m) < best_score:
+            best_net, best_score = net, score_of(m)
             # checkpoint every improvement — DAgger rounds are minutes
             # each, so a long run never loses its best student
             _save(best_net, args, horizon, dt, th)
             saved = True
-    print(f"best err {best_err:.4f}")
+    print(f"best round score {tuple(round(x, 4) for x in best_score)}")
     if not saved:  # no round improved: persist the (resumed) best once
         _save(best_net, args, horizon, dt, th)
 
