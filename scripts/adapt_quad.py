@@ -112,12 +112,6 @@ def main():
             "speed 0.4, thresh_div 1.0, test-time break — identical to "
             "the published robustness table"
         ),
-        "budget": {
-            "nr_epochs": args.epochs,
-            "train_dyn_for_epochs": args.dyn_epochs,
-            "epoch_size": args.epoch_size,
-            "self_play": args.self_play,
-        },
         "nominal": nominal,
         "cells": {},
     }
@@ -184,6 +178,12 @@ def main():
         print(f"[{param} x{factor}] identified:", json.dumps(identified))
         out["cells"][f"{param} x{factor}"] = {
             "modified_params": mp,
+            "budget": {
+                "nr_epochs": args.epochs,
+                "train_dyn_for_epochs": args.dyn_epochs,
+                "epoch_size": args.epoch_size,
+                "self_play": args.self_play,
+            },
             "before": before,
             "after": after,
             "after_final_epoch": after_final,

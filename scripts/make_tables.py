@@ -46,6 +46,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WIDE_MODELS = [
     "assets/quad_mpc_distilled_stable_ff",
     "assets/quad_mpc_distilled_h14",
+    "assets/quad_mpc_distilled_lstm_h14_ff",
     "assets/quad_mpc_distilled_lstm_h14",
     "assets/quad_mpc_distilled",
     "assets/quad_mpc_distilled_stable",
@@ -492,9 +493,12 @@ MODELS_TABLE = [
      "states) — error parity with its teacher at one MLP forward/step"),
     ("quad_mpc_distilled_stable", "wide",
      "stability-tilted student: h=20 teacher + 20-row student window"),
+    ("quad_mpc_distilled_lstm_h14_ff", "wide",
+     "failure-focused refinement of the h=14 recurrent student — best "
+     "tracking error of ANY student (feed-forward included) and best "
+     "recurrent stability"),
     ("quad_mpc_distilled_lstm_h14", "wide",
-     "recurrent (LSTM) student of the h=14 teacher, sequence DAgger — "
-     "best recurrent controller"),
+     "recurrent (LSTM) student of the h=14 teacher, sequence DAgger"),
     ("quad_mpc_distilled_lstm", "wide",
      "recurrent student of the h=20 warm-started teacher"),
     ("quad_ar_trained_9k", "wide",
