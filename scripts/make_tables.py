@@ -487,7 +487,8 @@ MODELS_TABLE = [
      "teacher's stability at half the error gap"),
     ("quad_mpc_distilled_h14", "wide",
      "DAgger student of the h=14 in-graph MPC teacher (the teacher-horizon "
-     "sweep's sweet spot, DESIGN.md §7) — best neural tracking error"),
+     "sweep's sweet spot, DESIGN.md §7) — best feed-forward error before "
+     "the round-5 failure-focused refinements"),
     ("quad_mpc_distilled", "wide",
      "DAgger student of the h=10 MPC teacher (8 rounds, 41k labeled "
      "states) — error parity with its teacher at one MLP forward/step"),
