@@ -329,8 +329,11 @@ SPEED_MODELS = [
     "assets/quad_trained",
     "assets/quad_mpc_distilled",
     "assets/quad_mpc_distilled_h14",
+    "assets/quad_mpc_distilled_stable_ff",
     "assets/quad_mpc_distilled_lstm",
+    "assets/quad_mpc_distilled_lstm_h14_ff",
     "assets/quad_mpc_distilled_s05",
+    "assets/quad_mpc_distilled_s05_ff",
     "assets/quad_lstm_trained",
     "assets/quad_lstm_trained_9k",
 ]
