@@ -147,7 +147,9 @@ def test_wide_protocol_backs_the_champions():
     assert os.path.exists(path)
     with open(path) as f:
         wide = json.load(f)
-    for champ in ("quad_mpc_distilled_h14", "quad_mpc_distilled_lstm_h14"):
+    for champ in ("quad_mpc_distilled_h14", "quad_mpc_distilled_lstm_h14",
+                  "quad_mpc_distilled_stable_ff",
+                  "quad_mpc_distilled_lstm_h14_ff"):
         assert champ in wide["results"], (
             f"wide protocol artifact lacks {champ} — rerun "
             "`make_tables.py --sections wide`"
@@ -155,6 +157,49 @@ def test_wide_protocol_backs_the_champions():
         row = wide["results"][champ]
         assert {"mean_divergence", "mean_divergence_ci", "ratio_stable",
                 "ratio_stable_ci", "n"} <= set(row), row.keys()
+
+
+def test_robustness_adapt_artifact_backs_the_readme_block():
+    """The repair-by-adaptation block renders from the committed
+    artifact: every cell carries before/after with n + CIs, the
+    infeasible cell carries the rate-authority analysis, and the block
+    function reproduces a table from it."""
+    path = os.path.join(REPO, "docs", "robustness_adapt.json")
+    assert os.path.exists(path)
+    with open(path) as f:
+        d = json.load(f)
+    assert d["cells"], "no repair cells in the artifact"
+    feas_flags = []
+    for cell, c in d["cells"].items():
+        for leg in ("before", "after"):
+            assert {"err", "stable", "stable_ci", "n"} <= set(c[leg]), (
+                cell, leg)
+        assert "identified_params" in c, cell
+        assert "rate_authority" in c, cell
+        feas_flags.append(c["rate_authority"]["feasible"])
+    # the published analysis: at least one provably-infeasible cell and
+    # at least two repaired ones
+    assert not all(feas_flags), "expected an infeasible cell"
+    repaired = [
+        c for c in d["cells"].values()
+        if c["rate_authority"]["feasible"]
+        and c["after"]["stable"] > c["before"]["stable"] + 0.3
+    ]
+    assert len(repaired) >= 2, "expected >=2 repaired cells"
+
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import make_tables
+
+    cwd = os.getcwd()
+    os.chdir(REPO)
+    try:
+        block = make_tables.robustness_adapt_block()
+    finally:
+        os.chdir(cwd)
+    assert block and block.count("|") > 10
+    assert "infeasible for any controller" in block
 
 
 def test_models_table_covers_shipped_assets():
