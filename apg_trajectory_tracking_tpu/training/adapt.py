@@ -173,7 +173,8 @@ class TrainCartpoleAdapt(TrainCartpole):
                      train_dyn_every=1, verbose=True):
         """The alternation schedule (train_base.py:334-375)."""
         cfg = self.config
-        nr_epochs = nr_epochs or cfg["nr_epochs"]
+        if nr_epochs is None:
+            nr_epochs = cfg["nr_epochs"]
         train_dyn_for_epochs = (
             train_dyn_for_epochs
             if train_dyn_for_epochs is not None
@@ -672,7 +673,8 @@ class TrainWingAdapt:
                      train_dyn_every=1, verbose=True):
         """Alternation schedule (train_base.py:334-375)."""
         cfg = self.inner.config
-        nr_epochs = nr_epochs or cfg["nr_epochs"]
+        if nr_epochs is None:
+            nr_epochs = cfg["nr_epochs"]
         train_dyn_for_epochs = (
             train_dyn_for_epochs
             if train_dyn_for_epochs is not None

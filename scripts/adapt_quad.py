@@ -183,6 +183,7 @@ def main():
                 "train_dyn_for_epochs": args.dyn_epochs,
                 "epoch_size": args.epoch_size,
                 "self_play": args.self_play,
+                "sysid": args.sysid,
             },
             "before": before,
             "after": after,

@@ -199,9 +199,22 @@ def main():
         )
         n_ctrl = max(args.epochs - args.dyn_epochs, 1)
         ft.fit(nr_epochs=n_ctrl, nr_test=10, verbose=True)
-        finetuned = protocol_eval(ft.net, wing_params(mismatch))
+        # symmetric selection: the adaptation leg reports its
+        # best-by-criterion net, so this leg must too — TrainWing saved
+        # its best-by-test-err checkpoint during fit
+        from apg_trajectory_tracking_tpu.utils.checkpoints import (
+            checkpoint_exists,
+            load_checkpoint,
+        )
+
+        ft_net = ft.net
+        if checkpoint_exists(ft.save_path, "model_wing"):
+            ft_net = load_checkpoint(ft.save_path, "model_wing", ft.net)
+        finetuned = protocol_eval(ft_net, wing_params(mismatch))
+        finetuned_final = protocol_eval(ft.net, wing_params(mismatch))
         print("sampling ft   :", json.dumps(finetuned))
         result["sampling_finetune"] = finetuned
+        result["sampling_finetune_final_epoch"] = finetuned_final
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

@@ -331,10 +331,12 @@ def main():
             )
             fvalid = np.asarray(froll["valid"])
             alive = fvalid.sum(axis=1)
-            # a full episode executes ref_len steps (not max_steps) — an
-            # episode is a failure iff it broke before the usable window
-            full_alive = frefs.shape[1] - win_rows
-            failed = alive < full_alive - 1
+            # a full episode executes steps i = 0..ref_len inclusive
+            # (ref_len + 1 valid entries, follow_trajectories docstring);
+            # anything shorter broke somewhere — including the near-miss
+            # tail that breaks on the very last steps
+            full_alive = (frefs.shape[1] - win_rows) + 1
+            failed = alive < full_alive
             n_fail = int(failed.sum())
             if n_fail:
                 fs = np.asarray(froll["states"])[failed].reshape(-1, 12)
@@ -365,8 +367,8 @@ def main():
         if score_of(m) < best_score:
             best_net, best_score = net, score_of(m)
             save_best(best_net)
-    # the shipped checkpoint is the best-by-error round (round-to-round
-    # eval noise ~0.003); model only — the distillation optimizer (Adam)
+    # the shipped checkpoint is the best round under --select (error, or
+    # stability-first); model only — the distillation optimizer (Adam)
     # is not the APG trainer's (SGD-momentum), so its state is not
     # resumable anyway
     net = best_net

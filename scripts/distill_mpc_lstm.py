@@ -313,7 +313,9 @@ def main():
                 window_len=th, net_window=th,
             )
             fvalid = np.asarray(froll["valid"])
-            failed = fvalid.sum(axis=1) < (frefs.shape[1] - th) - 1
+            # full episode = ref_len + 1 valid steps (same accounting as
+            # distill_mpc.py's failure harvest — keep the two in lockstep)
+            failed = fvalid.sum(axis=1) < (frefs.shape[1] - th) + 1
             n_fail = int(failed.sum())
             if n_fail:
                 fmask = jnp.asarray(failed)

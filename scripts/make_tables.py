@@ -759,6 +759,12 @@ def robustness_adapt_block():
                     f"exceeds the ±0.5 rad/s rate command authority — "
                     f"min sustainable body rates [{rates}] rad/s break "
                     f"the attitude predicate (sysid still exact)")
+        elif c.get("budget", {}).get("sysid", "rate") == "none":
+            # residual-only fit: the base params never trained, so the
+            # "identified" values are just the analytic defaults
+            note = (f"residual-only fit "
+                    f"(gap {c['dynamics_gap']['analytic']:.3f} → "
+                    f"{c['dynamics_gap']['adapted_after']:.4f})")
         else:
             param = next(iter(c["modified_params"]))
             ident = c["identified_params"][param]

@@ -77,9 +77,12 @@ def main():
     ref_len = refs.shape[1] - 10  # the shared protocol span
     dyn = quad_params()
 
-    # 1. per-trajectory infeasibility
+    # 1. per-trajectory infeasibility over the FLOWN portion only —
+    # rollouts execute steps 0..ref_len, so over-cap slews in the final
+    # (never-flown) reference rows must not bucket a trajectory
     over_cap = np.array([
-        int((required_tilt_rate(r[:, :3], dt) > RATE_CAP).sum())
+        int((required_tilt_rate(r[: ref_len + 1, :3], dt)
+             > RATE_CAP).sum())
         for r in refs
     ])
 
