@@ -487,7 +487,7 @@ MODELS_TABLE = [
      "failure-focused DAgger refinement of the stable student (h=20 "
      "teacher, break-semantics failure harvesting ×2 oversampled, "
      "stability-first round selection) — champion: within-CI of its MPC "
-     "teacher's stability at half the error gap"),
+     "teacher's stability while matching the previous best student error"),
     ("quad_mpc_distilled_h14", "wide",
      "DAgger student of the h=14 in-graph MPC teacher (the teacher-horizon "
      "sweep's sweet spot, DESIGN.md §7) — best feed-forward error before "
